@@ -1,0 +1,241 @@
+"""Default config: the detectron2 keys the reference exercises plus every key
+added by /root/reference/daod/config.py:8-142, with the same names and
+defaults — so the reference's 41 YAML files merge unchanged.
+
+TPU-specific keys live under the `TPU` group (canvas/padding buckets, mesh,
+dtype) — new capability, not present in the reference.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from ..models.faster_rcnn import DetectorConfig
+from .cfg_node import CfgNode
+
+
+def get_cfg() -> CfgNode:
+    c = CfgNode()
+    c.VERSION = 2
+    c.SEED = -1
+    c.OUTPUT_DIR = "./output"
+    c.VIS_PERIOD = 0
+    c.TRAINER = ""
+
+    # ---- MODEL ----
+    c.MODEL = CfgNode()
+    c.MODEL.META_ARCHITECTURE = "GeneralizedRCNN"
+    c.MODEL.WEIGHTS = ""
+    c.MODEL.MASK_ON = False
+    c.MODEL.DEVICE = "tpu"
+    c.MODEL.PIXEL_MEAN = (103.530, 116.280, 123.675)
+    c.MODEL.PIXEL_STD = (1.0, 1.0, 1.0)
+
+    c.MODEL.BACKBONE = CfgNode()
+    c.MODEL.BACKBONE.NAME = "build_resnet_backbone"
+    c.MODEL.BACKBONE.FREEZE_AT = 0
+
+    c.MODEL.RESNETS = CfgNode()
+    c.MODEL.RESNETS.DEPTH = 101
+    c.MODEL.RESNETS.NORM = "FrozenBN"
+    c.MODEL.RESNETS.OUT_FEATURES = ("res4",)
+
+    c.MODEL.ANCHOR_GENERATOR = CfgNode()
+    c.MODEL.ANCHOR_GENERATOR.SIZES = ((32, 64, 128, 256, 512),)
+    c.MODEL.ANCHOR_GENERATOR.ASPECT_RATIOS = ((0.5, 1.0, 2.0),)
+
+    c.MODEL.PROPOSAL_GENERATOR = CfgNode()
+    c.MODEL.PROPOSAL_GENERATOR.NAME = "RPN"
+
+    c.MODEL.RPN = CfgNode()
+    c.MODEL.RPN.IN_FEATURES = ("res4",)
+    c.MODEL.RPN.NMS_THRESH = 0.7
+    c.MODEL.RPN.BATCH_SIZE_PER_IMAGE = 256
+    c.MODEL.RPN.POSITIVE_FRACTION = 0.5
+    c.MODEL.RPN.PRE_NMS_TOPK_TRAIN = 2048
+    c.MODEL.RPN.PRE_NMS_TOPK_TEST = 2048
+    c.MODEL.RPN.POST_NMS_TOPK_TRAIN = 1024
+    c.MODEL.RPN.POST_NMS_TOPK_TEST = 512
+    c.MODEL.RPN.LOSS_WEIGHT = 1.0
+    c.MODEL.RPN.SMOOTH_L1_BETA = 0.0
+    c.MODEL.RPN.UNSUP_LOSS_WEIGHT = 1.0
+    c.MODEL.RPN.LOSS = "CrossEntropy"
+
+    c.MODEL.ROI_HEADS = CfgNode()
+    c.MODEL.ROI_HEADS.NAME = "StandardROIHeads"
+    c.MODEL.ROI_HEADS.IN_FEATURES = ("res4",)
+    c.MODEL.ROI_HEADS.NUM_CLASSES = 80
+    c.MODEL.ROI_HEADS.BATCH_SIZE_PER_IMAGE = 512
+    c.MODEL.ROI_HEADS.POSITIVE_FRACTION = 0.25
+    c.MODEL.ROI_HEADS.SCORE_THRESH_TEST = 0.05
+    c.MODEL.ROI_HEADS.NMS_THRESH_TEST = 0.5
+    c.MODEL.ROI_HEADS.LOSS = "CrossEntropy"
+
+    c.MODEL.ROI_BOX_HEAD = CfgNode()
+    c.MODEL.ROI_BOX_HEAD.NAME = "FastRCNNConvFCHead"
+    c.MODEL.ROI_BOX_HEAD.NUM_FC = 2
+    c.MODEL.ROI_BOX_HEAD.NUM_CONV = 0
+    c.MODEL.ROI_BOX_HEAD.FC_DIM = 1024
+    c.MODEL.ROI_BOX_HEAD.CONV_DIM = 256
+    c.MODEL.ROI_BOX_HEAD.POOLER_RESOLUTION = 7
+    c.MODEL.ROI_BOX_HEAD.POOLER_SAMPLING_RATIO = 2
+    c.MODEL.ROI_BOX_HEAD.CLS_AGNOSTIC_BBOX_REG = False
+    c.MODEL.ROI_BOX_HEAD.DROPOUT = 0.0  # MCD heads (reference roi_heads/box_head.py)
+
+    # ---- INPUT ----
+    c.INPUT = CfgNode()
+    c.INPUT.MIN_SIZE_TRAIN = (600,)
+    c.INPUT.MAX_SIZE_TRAIN = 1333
+    c.INPUT.MIN_SIZE_TEST = 600
+    c.INPUT.MAX_SIZE_TEST = 1333
+    c.INPUT.FORMAT = "BGR"
+    c.INPUT.RANDOM_FLIP = "horizontal"
+
+    # ---- DATASETS / DATALOADER ----
+    c.DATASETS = CfgNode()
+    c.DATASETS.TRAIN = ()
+    c.DATASETS.TRAIN_TARGET = ()
+    c.DATASETS.TEST = ()
+
+    c.DATALOADER = CfgNode()
+    c.DATALOADER.NUM_WORKERS = 4
+    c.DATALOADER.SUP_PERCENT = 100.0
+    c.DATALOADER.RANDOM_DATA_SEED = 0
+    c.DATALOADER.FILTER_EMPTY_ANNOTATIONS = True
+
+    # ---- SOLVER ----
+    c.SOLVER = CfgNode()
+    c.SOLVER.IMS_PER_BATCH = 16
+    c.SOLVER.IMS_PER_BATCH_TARGET = 1
+    c.SOLVER.BASE_LR = 0.001
+    c.SOLVER.MOMENTUM = 0.9
+    c.SOLVER.WEIGHT_DECAY = 0.0001
+    c.SOLVER.GAMMA = 0.1
+    c.SOLVER.STEPS = (30000,)
+    c.SOLVER.FACTOR_LIST = (1,)
+    c.SOLVER.MAX_ITER = 40000
+    c.SOLVER.WARMUP_FACTOR = 1.0 / 1000
+    c.SOLVER.WARMUP_ITERS = 1000
+    c.SOLVER.WARMUP_METHOD = "linear"
+    c.SOLVER.CHECKPOINT_PERIOD = 5000
+    c.SOLVER.CLIP_GRADIENTS = CfgNode()
+    c.SOLVER.CLIP_GRADIENTS.ENABLED = False
+    c.SOLVER.CLIP_GRADIENTS.CLIP_VALUE = 1.0
+    c.SOLVER.AMP = CfgNode()
+    c.SOLVER.AMP.ENABLED = False  # on TPU this selects bf16 compute
+
+    # ---- TEST ----
+    c.TEST = CfgNode()
+    c.TEST.EVAL_PERIOD = 0
+    c.TEST.IMS_PER_BATCH = 1
+    c.TEST.DETECTIONS_PER_IMAGE = 100
+    c.TEST.VAL_LOSS = True
+    c.TEST.EVALUATOR = "COCOeval"
+    c.TEST.PRECISE_BN = CfgNode()
+    c.TEST.PRECISE_BN.ENABLED = False
+    c.TEST.PRECISE_BN.NUM_ITER = 200
+
+    # ---- reference daod/config.py additions ----
+    c.VGG = CfgNode()
+    c.VGG.BN = True
+
+    c.DA_FASTER = CfgNode()
+    c.DA_FASTER.DC_IMG_GRL_WEIGHT = 0.01
+    c.DA_FASTER.DC_INS_GRL_WEIGHT = 0.1
+    c.DA_FASTER.DC_CONSISTENCY_WEIGHT = 0.1
+    c.DA_FASTER.LEVELS = ("res4",)
+    c.DA_FASTER.ENTROPY_CONDITIONING = False
+
+    c.SEMISUPNET = CfgNode()
+    c.SEMISUPNET.MLP_DIM = 128
+    c.SEMISUPNET.BBOX_THRESHOLD = 0.7
+    c.SEMISUPNET.PSEUDO_BBOX_SAMPLE = "thresholding"
+    c.SEMISUPNET.TEACHER_UPDATE_ITER = 1
+    c.SEMISUPNET.BURN_UP_STEP = 12000
+    c.SEMISUPNET.EMA_KEEP_RATE = 0.0
+    c.SEMISUPNET.UNSUP_LOSS_WEIGHT = 4.0
+    c.SEMISUPNET.SUP_LOSS_WEIGHT = 0.5
+    c.SEMISUPNET.LOSS_WEIGHT_TYPE = "standard"
+    c.SEMISUPNET.DIS_TYPE = "res4"
+    c.SEMISUPNET.DIS_LOSS_WEIGHT = 0.1
+    c.SEMISUPNET.INS_DC = False
+
+    c.EMAMODEL = CfgNode()
+    c.EMAMODEL.SUP_CONSIST = True
+
+    c.ADAPTIVE_THRESHOLD = CfgNode()
+    c.ADAPTIVE_THRESHOLD.ENABLED = True
+    c.ADAPTIVE_THRESHOLD.WARM_UP = 100
+    c.ADAPTIVE_THRESHOLD.RESERVE = 500
+
+    c.WEAK_STRONG_AUGMENT = True
+    c.ENHANCE = True
+
+    c.DOMAIN_CLASSIFIER = CfgNode()
+    c.DOMAIN_CLASSIFIER.ENABLED = False
+    c.DOMAIN_CLASSIFIER.IMAGE = False
+    c.DOMAIN_CLASSIFIER.INSTANCE = False
+
+    c.STYLE = CfgNode()
+    c.STYLE.ENABLED = False
+    c.STYLE.STYLE_IMAGE = None
+    c.STYLE.VGG_MODEL = None
+    c.STYLE.DECODER = None
+
+    # ---- TPU-native additions ----
+    c.TPU = CfgNode()
+    c.TPU.CANVAS = (608, 1216)  # padded (H, W); shortest-edge 600 Cityscapes
+    c.TPU.GT_CAPACITY = 64  # max GT instances per image (padded)
+    c.TPU.DTYPE = "float32"  # or "bfloat16"
+    c.TPU.MESH_DATA = -1  # data-parallel axis size; -1 = all devices
+
+    return c
+
+
+_BACKBONE_MAP = {
+    "build_vgg_backbone": "vgg16",
+    "build_vgg_fpn_backbone": "vgg16",
+    "build_resnet_backbone": None,  # resolved from RESNETS.DEPTH
+}
+
+
+def detector_config_from_cfg(cfg: CfgNode) -> DetectorConfig:
+    """Lower the yacs-style CfgNode to the static, hashable DetectorConfig
+    consumed by the jitted pipeline."""
+    name = cfg.MODEL.BACKBONE.NAME
+    if name not in _BACKBONE_MAP:
+        raise ValueError(f"unknown backbone {name}")
+    backbone = _BACKBONE_MAP[name] or f"resnet{cfg.MODEL.RESNETS.DEPTH}"
+    in_feature = cfg.MODEL.ROI_HEADS.IN_FEATURES[0]
+    dtype = jnp.bfloat16 if (cfg.TPU.DTYPE == "bfloat16" or cfg.SOLVER.AMP.ENABLED) else jnp.float32
+    return DetectorConfig(
+        num_classes=cfg.MODEL.ROI_HEADS.NUM_CLASSES,
+        backbone=backbone,
+        vgg_bn=cfg.VGG.BN,
+        resnet_norm=cfg.MODEL.RESNETS.NORM,
+        in_feature=in_feature,
+        anchor_sizes=tuple(cfg.MODEL.ANCHOR_GENERATOR.SIZES[0]),
+        anchor_ratios=tuple(cfg.MODEL.ANCHOR_GENERATOR.ASPECT_RATIOS[0]),
+        rpn_pre_nms_topk_train=min(cfg.MODEL.RPN.PRE_NMS_TOPK_TRAIN, 4096),
+        rpn_post_nms_topk_train=min(cfg.MODEL.RPN.POST_NMS_TOPK_TRAIN, 2048),
+        rpn_pre_nms_topk_test=min(cfg.MODEL.RPN.PRE_NMS_TOPK_TEST, 4096),
+        rpn_post_nms_topk_test=min(cfg.MODEL.RPN.POST_NMS_TOPK_TEST, 1024),
+        rpn_nms_thresh=cfg.MODEL.RPN.NMS_THRESH,
+        rpn_batch_size_per_image=cfg.MODEL.RPN.BATCH_SIZE_PER_IMAGE,
+        rpn_positive_fraction=cfg.MODEL.RPN.POSITIVE_FRACTION,
+        rpn_smooth_l1_beta=cfg.MODEL.RPN.SMOOTH_L1_BETA,
+        rpn_loss_weight=cfg.MODEL.RPN.LOSS_WEIGHT,
+        roi_batch_size_per_image=cfg.MODEL.ROI_HEADS.BATCH_SIZE_PER_IMAGE,
+        roi_positive_fraction=cfg.MODEL.ROI_HEADS.POSITIVE_FRACTION,
+        pooler_resolution=cfg.MODEL.ROI_BOX_HEAD.POOLER_RESOLUTION,
+        pooler_sampling_ratio=cfg.MODEL.ROI_BOX_HEAD.POOLER_SAMPLING_RATIO,
+        fc_dim=cfg.MODEL.ROI_BOX_HEAD.FC_DIM,
+        num_fc=cfg.MODEL.ROI_BOX_HEAD.NUM_FC,
+        box_head_dropout=cfg.MODEL.ROI_BOX_HEAD.DROPOUT,
+        score_thresh_test=cfg.MODEL.ROI_HEADS.SCORE_THRESH_TEST,
+        nms_thresh_test=cfg.MODEL.ROI_HEADS.NMS_THRESH_TEST,
+        detections_per_image=cfg.TEST.DETECTIONS_PER_IMAGE,
+        pixel_mean=tuple(cfg.MODEL.PIXEL_MEAN),
+        pixel_std=tuple(cfg.MODEL.PIXEL_STD),
+        dtype=dtype,
+    )

@@ -1,0 +1,191 @@
+"""High-level detector API: init / training losses / inference as pure fns.
+
+The equivalent of `GeneralizedRCNN.forward`'s branches in the reference
+(meta_arch/source_free_adaptive_teacher_rcnn.py:106-339), re-expressed so
+that trainers jit exactly what they need:
+
+    det = Detector(cfg)
+    variables = det.init(rng, canvas_hw)
+    losses, metrics, new_stats = det.supervised_losses(variables, batch, rng)
+    detections = det.infer(variables, images, sizes)          # "unsup_data_weak"
+    raw = det.infer_raw(variables, images, sizes)             # BPC path: no NMS
+
+`variables` = {'params': ..., 'batch_stats': ...} — the whole model is a
+pytree, so the EMA teacher is just a second pytree and the teacher-student
+step is one compiled graph.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..structures.instances import Instances
+from .faster_rcnn import (
+    DetectorConfig,
+    FasterRCNN,
+    RPNOutput,
+    anchors_for,
+    label_and_sample_proposals,
+    pool_rois,
+    propose,
+    roi_inference,
+    roi_losses,
+    rpn_losses,
+)
+
+
+class DetectionBatch(NamedTuple):
+    """One training/eval batch. images [B,H,W,3] raw 0-255 pixels (BGR by
+    default config), sizes [B,2] true (h,w), gt: padded Instances (leading
+    dim B) or None for unlabeled flows."""
+
+    images: jnp.ndarray
+    sizes: jnp.ndarray
+    gt: Optional[Instances] = None
+
+
+class Detector:
+    """Stateless wrapper binding a DetectorConfig to the pipeline functions.
+
+    Not a pytree: hold one per program, pass `variables` explicitly.
+    """
+
+    def __init__(self, cfg: DetectorConfig):
+        self.cfg = cfg
+        self.module = FasterRCNN(cfg)
+
+    # -- initialisation ----------------------------------------------------
+    def init(self, rng: jax.Array, canvas_hw: Tuple[int, int], batch: int = 1):
+        images = jnp.zeros((batch, canvas_hw[0], canvas_hw[1], 3), jnp.float32)
+        return self.module.init(rng, images, train=False)
+
+    # -- forward pieces ----------------------------------------------------
+    def _features(self, variables, images, train: bool, mutable=False):
+        return self.module.apply(
+            variables,
+            images,
+            train,
+            method=FasterRCNN.features,
+            mutable=["batch_stats"] if mutable else False,
+        )
+
+    def _rpn(self, variables, feature) -> RPNOutput:
+        logits, deltas = self.module.apply(variables, feature, method=FasterRCNN.rpn)
+        return RPNOutput(logits, deltas)
+
+    def _box(self, variables, pooled, train: bool = False, rngs=None):
+        return self.module.apply(
+            variables, pooled, train, method=FasterRCNN.box, rngs=rngs
+        )
+
+    # -- training ----------------------------------------------------------
+    def supervised_losses(
+        self,
+        variables,
+        batch: DetectionBatch,
+        rng: jax.Array,
+        update_bn: bool = True,
+        loss_weights: Optional[Dict[str, float]] = None,
+    ):
+        """Full supervised Faster R-CNN loss (the reference's "supervised" /
+        "supervised_target" branches). Returns (total_loss, metrics, new_batch_stats).
+        """
+        cfg = self.cfg
+        rng_rpn, rng_roi = jax.random.split(rng)
+        canvas = batch.images.shape[1:3]
+        anchors = anchors_for(cfg, canvas)
+
+        if update_bn:
+            feature, mutated = self._features(variables, batch.images, True, mutable=True)
+            new_stats = mutated.get("batch_stats", {})
+        else:
+            feature = self._features(variables, batch.images, True, mutable=False)
+            new_stats = variables.get("batch_stats", {})
+
+        rpn_out = self._rpn(variables, feature)
+        losses = rpn_losses(cfg, anchors, rpn_out, batch.gt, rng_rpn)
+
+        proposals = propose(cfg, anchors, rpn_out, batch.sizes, training=True)
+        proposals = proposals.replace(boxes=jax.lax.stop_gradient(proposals.boxes))
+        sampled = label_and_sample_proposals(cfg, proposals, batch.gt, rng_roi)
+        pooled = pool_rois(cfg, feature, sampled.boxes)
+        scores, deltas = self._box(variables, pooled, train=True)
+        losses.update(roi_losses(cfg, scores, deltas, sampled))
+
+        weights = loss_weights or {}
+        total = sum(v * weights.get(k, 1.0) for k, v in losses.items())
+        metrics = dict(losses)
+        metrics["num_fg"] = jnp.sum(sampled.is_fg.astype(jnp.int32))
+        metrics["num_sampled"] = jnp.sum(sampled.valid.astype(jnp.int32))
+        return total, metrics, new_stats
+
+    # -- inference ---------------------------------------------------------
+    def infer(
+        self,
+        variables,
+        images: jnp.ndarray,
+        sizes: jnp.ndarray,
+        score_thresh: float = None,
+        nms_thresh: float = None,
+        topk: int = None,
+        train_mode_bn: bool = False,
+    ) -> Instances:
+        """Standard inference -> final detections [B, topk].
+
+        train_mode_bn=True runs BatchNorm on batch statistics without
+        updating them — the reference's AdaBN eval probe (model.train() under
+        no_grad, base.py:281-299) and its teacher's always-train-mode quirk.
+        """
+        cfg = self.cfg
+        anchors = anchors_for(cfg, images.shape[1:3])
+        feature = self._features(variables, images, train_mode_bn, mutable=False)
+        rpn_out = self._rpn(variables, feature)
+        proposals = propose(cfg, anchors, rpn_out, sizes, training=False)
+        pooled = pool_rois(cfg, feature, proposals.boxes)
+        scores, deltas = self._box(variables, pooled)
+        b, r = proposals.boxes.shape[:2]
+        return roi_inference(
+            cfg,
+            scores.reshape(b, r, -1),
+            deltas.reshape(b, r, -1),
+            proposals,
+            sizes,
+            score_thresh=score_thresh,
+            nms_thresh=nms_thresh,
+            topk=topk,
+        )
+
+    def infer_raw(
+        self, variables, images: jnp.ndarray, sizes: jnp.ndarray, topk: int = 512
+    ) -> Instances:
+        """No score filter, no NMS — the reference's
+        `fast_rcnn_inference_new` (source_free_fast_rcnn.py:121,132-138) that
+        feeds raw (box, score) pairs to the BPC loss."""
+        cfg = self.cfg
+        anchors = anchors_for(cfg, images.shape[1:3])
+        feature = self._features(variables, images, False, mutable=False)
+        rpn_out = self._rpn(variables, feature)
+        proposals = propose(cfg, anchors, rpn_out, sizes, training=False)
+        pooled = pool_rois(cfg, feature, proposals.boxes)
+        scores, deltas = self._box(variables, pooled)
+        b, r = proposals.boxes.shape[:2]
+        return roi_inference(
+            cfg,
+            scores.reshape(b, r, -1),
+            deltas.reshape(b, r, -1),
+            proposals,
+            sizes,
+            topk=topk,
+            apply_nms=False,
+            apply_score_thresh=False,
+        )
+
+    def bn_update(self, variables, images: jnp.ndarray):
+        """One AdaBN accumulation step: forward in train mode, return updated
+        batch_stats (the functional form of base.py:281-299's
+        `model.train(); model(data) under no_grad`)."""
+        _, mutated = self._features(variables, images, True, mutable=True)
+        return mutated["batch_stats"]
