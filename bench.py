@@ -1,0 +1,86 @@
+#!/usr/bin/env python
+"""Headline benchmark: source-free adaptive-teacher adaptation-step throughput
+(images/sec/chip) at the reference workload shape (SURVEY §6 / BASELINE.md):
+VGG16-BN Faster R-CNN, shortest-edge-600 Cityscapes canvas (608x1216),
+batch 1 target image/chip, teacher inference + pseudo-labelling + student
+update + EMA in one compiled step.
+
+Baseline: the reference (PyTorch/Detectron2, A100) runs this adaptation step
+at ~4.5 it/s = 4.5 imgs/s/GPU (typical Detectron2 VGG16 600px 1-img step from
+its LOG conventions; the repo publishes no number — BASELINE.md). The driver
+north-star is >=3x that, so vs_baseline is measured_imgs_per_sec / 4.5.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+REFERENCE_IMGS_PER_SEC = 4.5  # assumed A100 Detectron2 baseline (see docstring)
+
+
+def main():
+    import numpy as np
+
+    from simple_sfod_tpu.config import get_cfg
+    from simple_sfod_tpu.engine.trainers import build_trainer
+
+    cfg = get_cfg()
+    cfg.TRAINER = "source_free_adaptive_teacher"
+    cfg.MODEL.BACKBONE.NAME = "build_vgg_backbone"
+    cfg.MODEL.RPN.IN_FEATURES = ("vgg4",)
+    cfg.MODEL.ROI_HEADS.IN_FEATURES = ("vgg4",)
+    cfg.MODEL.ROI_HEADS.NUM_CLASSES = 8
+    cfg.VGG.BN = True
+    cfg.SEMISUPNET.BBOX_THRESHOLD = 0.8
+    cfg.SEMISUPNET.EMA_KEEP_RATE = 0.9996
+    cfg.SOLVER.IMS_PER_BATCH_TARGET = 1
+    cfg.TPU.CANVAS = (608, 1216)
+    cfg.TPU.DTYPE = "bfloat16"
+    cfg.SEED = 0
+    cfg.OUTPUT_DIR = "/tmp/bench_out"
+    cfg.SOLVER.CHECKPOINT_PERIOD = 0
+    cfg.TEST.EVAL_PERIOD = 0
+    cfg.freeze()
+
+    trainer = build_trainer(cfg, synthetic=True)
+
+    batch_size = cfg.SOLVER.IMS_PER_BATCH_TARGET
+    rs = np.random.RandomState(0)
+    batch = {
+        "images": rs.uniform(0, 255, (batch_size, *cfg.TPU.CANVAS, 3)).astype(np.float32),
+        "sizes": np.tile(np.asarray([[600, 1200]], np.int32), (batch_size, 1)),
+    }
+
+    # warmup / compile
+    for _ in range(3):
+        metrics = trainer.run_step(batch)
+    import jax
+
+    jax.block_until_ready(metrics["total_loss"])
+
+    iters = 20
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        metrics = trainer.run_step(batch)
+    jax.block_until_ready(metrics["total_loss"])
+    dt = time.perf_counter() - t0
+
+    n_chips = max(trainer.mesh.devices.size, 1)
+    imgs_per_sec_per_chip = iters * batch_size / dt / n_chips
+    print(
+        json.dumps(
+            {
+                "metric": "sfat_adaptation_imgs_per_sec_per_chip",
+                "value": round(imgs_per_sec_per_chip, 3),
+                "unit": "imgs/s/chip",
+                "vs_baseline": round(imgs_per_sec_per_chip / REFERENCE_IMGS_PER_SEC, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

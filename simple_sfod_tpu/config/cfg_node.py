@@ -56,7 +56,13 @@ class CfgNode(dict):
     @staticmethod
     def _decode(value: Any, old: Any) -> Any:
         """Coerce YAML/CLI values toward the default's type (yacs behaviour:
-        lists <-> tuples, str 'None' etc.)."""
+        python-literal strings like '("a",)' eval'd, lists <-> tuples,
+        int -> float)."""
+        if isinstance(value, str) and not isinstance(old, str):
+            try:
+                value = ast.literal_eval(value)
+            except (ValueError, SyntaxError):
+                pass
         if isinstance(old, tuple) and isinstance(value, list):
             return tuple(value)
         if isinstance(old, float) and isinstance(value, int):

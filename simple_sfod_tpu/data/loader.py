@@ -1,0 +1,238 @@
+"""Host-side batch assembly feeding the on-device augmentation stage.
+
+Division of labour (TPU-first, cf. SURVEY §7.3):
+  host   : file decode (PIL), shortest-edge resize, canvas padding, GT
+           scaling/padding -> fixed-shape numpy batches (this module)
+  device : random flip (geometry, with boxes) + the full strong photometric
+           pipeline, fused into the jitted train step (data/transforms.py)
+
+This replaces the reference's torch DataLoader + aspect-ratio-grouped
+two-crop batchers (/root/reference/daod/data/build.py:219-357, common.py).
+Aspect-ratio grouping exists there to reduce per-batch padding waste with
+dynamic shapes; with a static canvas it is unnecessary — the canvas is the
+bucket.
+"""
+
+from __future__ import annotations
+
+import os
+import threading
+import queue as queue_mod
+from typing import Iterator, List, Optional, Tuple
+
+import numpy as np
+
+from ..structures.instances import Instances
+from .datasets import get_dataset
+
+
+class ArrayBatch(dict):
+    """Plain dict batch: images [B,H,W,3] f32, sizes [B,2] i32, scale [B] f32,
+    gt_boxes [B,N,4] f32, gt_classes [B,N] i32, gt_valid [B,N] bool,
+    image_ids [B] i64 (host-side metadata, not shipped to device)."""
+
+
+def _load_image(path: str, fmt: str = "BGR") -> np.ndarray:
+    from PIL import Image
+
+    with Image.open(path) as im:
+        im = im.convert("RGB")
+        arr = np.asarray(im, dtype=np.float32)
+    if fmt == "BGR":
+        arr = arr[:, :, ::-1]
+    return arr
+
+
+def _resize_shortest_edge(
+    img: np.ndarray, min_size: int, max_size: int
+) -> Tuple[np.ndarray, float]:
+    from PIL import Image
+
+    h, w = img.shape[:2]
+    scale = min(min_size / min(h, w), max_size / max(h, w))
+    nh, nw = round(h * scale), round(w * scale)
+    if (nh, nw) == (h, w):
+        return img, 1.0
+    pil = Image.fromarray(img.astype(np.uint8))
+    out = np.asarray(pil.resize((nw, nh), Image.BILINEAR), dtype=np.float32)
+    return out, scale
+
+
+class DetectionLoader:
+    """Iterates fixed-shape batches over a list of dataset records."""
+
+    def __init__(
+        self,
+        records: List[dict],
+        batch_size: int,
+        canvas_hw: Tuple[int, int],
+        min_size: int,
+        max_size: int = 1333,
+        gt_capacity: int = 64,
+        training: bool = True,
+        seed: int = 0,
+        input_format: str = "BGR",
+        synthetic: bool = False,
+        prefetch: int = 2,
+    ):
+        assert records, "empty dataset"
+        self.records = records
+        self.batch_size = batch_size
+        self.canvas_hw = canvas_hw
+        self.min_size = min_size
+        self.max_size = max_size
+        self.gt_capacity = gt_capacity
+        self.training = training
+        self.rng = np.random.RandomState(seed)
+        self.input_format = input_format
+        self.synthetic = synthetic
+        self.prefetch = prefetch
+
+    def __len__(self):
+        return (len(self.records) + self.batch_size - 1) // self.batch_size
+
+    def _record_image(self, rec: dict) -> np.ndarray:
+        if self.synthetic or "image" in rec:
+            if "image" in rec:
+                return np.asarray(rec["image"], np.float32)
+            # deterministic synthetic content: rectangles on noise
+            rs = np.random.RandomState(rec["image_id"] % (2**31))
+            img = rs.uniform(0, 80, (rec["height"], rec["width"], 3)).astype(np.float32)
+            for box, cls in zip(rec["boxes"], rec["classes"]):
+                x1, y1, x2, y2 = [int(v) for v in box]
+                img[y1:y2, x1:x2] = 120.0 + 15.0 * (cls + 1)
+            return img
+        return _load_image(rec["file_name"], self.input_format)
+
+    def _make_batch(self, recs: List[dict]) -> ArrayBatch:
+        b = len(recs)
+        ch, cw = self.canvas_hw
+        n = self.gt_capacity
+        images = np.zeros((b, ch, cw, 3), np.float32)
+        sizes = np.zeros((b, 2), np.int32)
+        scales = np.zeros((b,), np.float32)
+        gt_boxes = np.zeros((b, n, 4), np.float32)
+        gt_classes = np.zeros((b, n), np.int32)
+        gt_valid = np.zeros((b, n), bool)
+        image_ids = np.zeros((b,), np.int64)
+        heights = np.zeros((b,), np.int32)
+        widths = np.zeros((b,), np.int32)
+
+        for i, rec in enumerate(recs):
+            img = self._record_image(rec)
+            img, scale = _resize_shortest_edge(img, self.min_size, self.max_size)
+            h, w = img.shape[:2]
+            h, w = min(h, ch), min(w, cw)
+            images[i, :h, :w] = img[:h, :w]
+            sizes[i] = (h, w)
+            scales[i] = scale
+            image_ids[i] = rec["image_id"]
+            heights[i] = rec["height"]
+            widths[i] = rec["width"]
+            boxes = np.asarray(rec["boxes"], np.float32).reshape(-1, 4) * scale
+            classes = np.asarray(rec["classes"], np.int32)
+            k = min(len(boxes), n)
+            if len(boxes) > n:
+                areas = (boxes[:, 2] - boxes[:, 0]) * (boxes[:, 3] - boxes[:, 1])
+                keep = np.argsort(-areas)[:n]
+                boxes, classes = boxes[keep], classes[keep]
+            gt_boxes[i, :k] = boxes[:k]
+            gt_classes[i, :k] = classes[:k]
+            gt_valid[i, :k] = True
+
+        return ArrayBatch(
+            images=images,
+            sizes=sizes,
+            scale=scales,
+            gt_boxes=gt_boxes,
+            gt_classes=gt_classes,
+            gt_valid=gt_valid,
+            image_ids=image_ids,
+            heights=heights,
+            widths=widths,
+        )
+
+    def _index_stream(self) -> Iterator[List[int]]:
+        n = len(self.records)
+        if not self.training:
+            for s in range(0, n, self.batch_size):
+                idx = list(range(s, min(s + self.batch_size, n)))
+                while len(idx) < self.batch_size:  # pad final batch by repeat
+                    idx.append(idx[-1])
+                yield idx
+            return
+        while True:
+            perm = self.rng.permutation(n)
+            for s in range(0, n - self.batch_size + 1, self.batch_size):
+                yield perm[s : s + self.batch_size].tolist()
+
+    def __iter__(self) -> Iterator[ArrayBatch]:
+        stream = self._index_stream()
+        if self.prefetch <= 0:
+            for idx in stream:
+                yield self._make_batch([self.records[i] for i in idx])
+            return
+
+        q: queue_mod.Queue = queue_mod.Queue(maxsize=self.prefetch)
+        stop = object()
+
+        def worker():
+            try:
+                for idx in stream:
+                    q.put(self._make_batch([self.records[i] for i in idx]))
+            finally:
+                q.put(stop)
+
+        t = threading.Thread(target=worker, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is stop:
+                return
+            yield item
+
+
+def gt_instances(batch: ArrayBatch) -> Instances:
+    """Device-side GT view of a batch (leading dim = batch)."""
+    import jax.numpy as jnp
+
+    return Instances(
+        boxes=jnp.asarray(batch["gt_boxes"]),
+        scores=jnp.ones(batch["gt_classes"].shape, jnp.float32),
+        classes=jnp.asarray(batch["gt_classes"]),
+        valid=jnp.asarray(batch["gt_valid"]),
+    )
+
+
+def build_train_loader(cfg, dataset_names=None, batch_size=None, seed=None, **kw):
+    names = dataset_names or cfg.DATASETS.TRAIN
+    records = []
+    for name in names:
+        records.extend(get_dataset(name)["records"])
+    return DetectionLoader(
+        records,
+        batch_size or cfg.SOLVER.IMS_PER_BATCH,
+        tuple(cfg.TPU.CANVAS),
+        cfg.INPUT.MIN_SIZE_TRAIN[0],
+        cfg.INPUT.MAX_SIZE_TRAIN,
+        cfg.TPU.GT_CAPACITY,
+        training=True,
+        seed=cfg.SEED if seed is None else seed,
+        input_format=cfg.INPUT.FORMAT,
+        **kw,
+    )
+
+
+def build_test_loader(cfg, dataset_name, **kw):
+    records = get_dataset(dataset_name)["records"]
+    return DetectionLoader(
+        records,
+        cfg.TEST.IMS_PER_BATCH,
+        tuple(cfg.TPU.CANVAS),
+        cfg.INPUT.MIN_SIZE_TEST,
+        cfg.INPUT.MAX_SIZE_TEST,
+        cfg.TPU.GT_CAPACITY,
+        training=False,
+        input_format=cfg.INPUT.FORMAT,
+        **kw,
+    )

@@ -1,0 +1,183 @@
+"""Adaptive-Teacher trainer (source-AVAILABLE baseline).
+
+Re-design of /root/reference/daod/engine/trainers/adaptive_teacher.py:
+burn-in on labeled source for BURN_UP_STEP iters (:202-213), then copy
+student -> teacher (:215-217) and alternate joint training: supervised source
+losses + pseudo-labeled target losses + image-level domain-discriminator
+losses with gradient reversal (:316-327), EMA teacher every
+TEACHER_UPDATE_ITER (:219-223).
+
+The burn-in/joint phase switch is data-independent (a step comparison), so
+both phases live in ONE jitted step via lax.cond-style masking of the loss
+terms — no recompilation at the phase boundary."""
+
+from __future__ import annotations
+
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ...data import transforms as T
+from ...data.loader import build_train_loader, gt_instances
+from ...models.dann import FCDiscriminatorImg, gradient_scalar
+from ...models.detector import DetectionBatch
+from ...ops.losses import sigmoid_ce
+from ...parallel.mesh import shard_batch
+from ...structures.instances import Instances
+from ..train_state import AdaptiveThresholdState, TeacherStudentState, ema_update
+from . import register_trainer
+from .base import BaseTrainer, apply_weak_aug
+from .source_free_adaptive_teacher import SourceFreeAdaptiveTeacherTrainer
+
+
+@register_trainer("adaptive_teacher")
+class AdaptiveTeacherTrainer(SourceFreeAdaptiveTeacherTrainer):
+    pseudo_from_student = False
+    ema_enabled = True
+
+    def __init__(self, cfg, synthetic: bool = False):
+        super().__init__(cfg, synthetic=synthetic)
+        self.target_loader = None
+
+    def build_train_loader(self):
+        # labeled source loader; the unlabeled target loader is built lazily
+        return build_train_loader(
+            self.cfg,
+            dataset_names=self.cfg.DATASETS.TRAIN,
+            batch_size=self.cfg.SOLVER.IMS_PER_BATCH,
+            synthetic=self.synthetic,
+        )
+
+    def _build_target_loader(self):
+        return build_train_loader(
+            self.cfg,
+            dataset_names=self.cfg.DATASETS.TRAIN_TARGET,
+            batch_size=self.cfg.SOLVER.IMS_PER_BATCH_TARGET,
+            seed=self.cfg.SEED + 1,
+            synthetic=self.synthetic,
+        )
+
+    def _build_train_step(self):
+        det = self.detector
+        cfg = self.cfg
+        optimizer = self.optimizer
+        bbox_threshold = float(cfg.SEMISUPNET.BBOX_THRESHOLD)
+        unsup_w = float(cfg.SEMISUPNET.UNSUP_LOSS_WEIGHT)
+        sup_w = float(cfg.SEMISUPNET.SUP_LOSS_WEIGHT)
+        dis_w = float(cfg.SEMISUPNET.DIS_LOSS_WEIGHT)
+        burn_up = int(cfg.SEMISUPNET.BURN_UP_STEP)
+        keep_rate = float(cfg.SEMISUPNET.EMA_KEEP_RATE)
+        update_iter = max(int(cfg.SEMISUPNET.TEACHER_UPDATE_ITER), 1)
+        pseudo_capacity = self.det_cfg.detections_per_image
+        dc_enabled = self.dc_enabled
+        dc_img = getattr(self, "dc_img", None)
+
+        def step_fn(
+            state: TeacherStudentState,
+            src_images,
+            src_sizes,
+            src_gt: Instances,
+            tgt_images,
+            tgt_sizes,
+            rng,
+        ):
+            rng = jax.random.fold_in(rng, state.step)
+            k_flip_s, k_flip_t, k_strong, k_sup, k_unsup = jax.random.split(rng, 5)
+            in_burn_up = state.step < burn_up
+
+            src_images, src_gt = apply_weak_aug(k_flip_s, src_images, src_sizes, src_gt)
+            dummy = Instances.empty(1)
+            dummy = jax.tree.map(
+                lambda x: jnp.broadcast_to(x[None], (tgt_images.shape[0],) + x.shape), dummy
+            )
+            tgt_weak, _ = apply_weak_aug(k_flip_t, tgt_images, tgt_sizes, dummy)
+            rngs = jax.random.split(k_strong, tgt_images.shape[0])
+            tgt_strong = jax.vmap(T.strong_augment)(rngs, tgt_weak)
+
+            # teacher pseudo-labels on weak target
+            dets = det.infer(state.teacher_variables(), tgt_weak, tgt_sizes, topk=pseudo_capacity)
+            dets = jax.tree.map(jax.lax.stop_gradient, dets)
+            pseudo_gt = Instances(
+                boxes=dets.boxes,
+                scores=dets.scores,
+                classes=dets.classes,
+                valid=dets.valid & (dets.scores > bbox_threshold),
+            )
+
+            def loss_fn(params):
+                variables = {"params": params["det"], "batch_stats": state.batch_stats}
+                sup_total, sup_metrics, new_stats = det.supervised_losses(
+                    variables, DetectionBatch(src_images, src_sizes, src_gt), k_sup
+                )
+                unsup_total, unsup_metrics, _ = det.supervised_losses(
+                    variables,
+                    DetectionBatch(tgt_strong, tgt_sizes, pseudo_gt),
+                    k_unsup,
+                    update_bn=False,
+                )
+                metrics = dict(sup_metrics)
+                metrics.update({f"{k}_pseudo": v for k, v in unsup_metrics.items()})
+                unsup_gate = jnp.where(in_burn_up, 0.0, 1.0)
+                total = sup_w * sup_total + unsup_gate * unsup_w * unsup_total
+                if dc_enabled:
+                    feat_s = det.module.apply(
+                        variables, src_images, False, method=type(det.module).features
+                    )
+                    feat_t = det.module.apply(
+                        variables, tgt_weak, False, method=type(det.module).features
+                    )
+                    out_s = dc_img.apply({"params": params["dc"]}, gradient_scalar(feat_s, -1.0))
+                    out_t = dc_img.apply({"params": params["dc"]}, gradient_scalar(feat_t, -1.0))
+                    loss_s = jnp.mean(sigmoid_ce(out_s, jnp.zeros_like(out_s)))
+                    loss_t = jnp.mean(sigmoid_ce(out_t, jnp.ones_like(out_t)))
+                    metrics["loss_DC_img_s"] = loss_s
+                    metrics["loss_DC_img_t"] = loss_t
+                    total = total + dis_w * (loss_s + loss_t)
+                return total, (metrics, new_stats)
+
+            (total, (metrics, new_stats)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                state.params
+            )
+            updates, new_opt = optimizer.update(grads, state.opt_state, state.params)
+            new_params = optax.apply_updates(state.params, updates)
+
+            # teacher: hard copy at the burn-up boundary, EMA afterwards
+            at_boundary = state.step == burn_up
+            do_ema = (~in_burn_up) & ((state.step % update_iter) == 0)
+            rate = jnp.where(at_boundary, 0.0, jnp.where(do_ema, keep_rate, 1.0))
+            new_teacher_params = ema_update(state.teacher_params, new_params["det"], rate)
+            new_teacher_stats = ema_update(state.teacher_stats, new_stats, rate)
+
+            metrics["total_loss"] = total
+            metrics["num_pseudo"] = jnp.sum(pseudo_gt.valid.astype(jnp.int32))
+            return (
+                TeacherStudentState(
+                    step=state.step + 1,
+                    params=new_params,
+                    batch_stats=new_stats,
+                    opt_state=new_opt,
+                    teacher_params=new_teacher_params,
+                    teacher_stats=new_teacher_stats,
+                    thresh=state.thresh,
+                ),
+                metrics,
+            )
+
+        return jax.jit(step_fn, donate_argnums=(0,))
+
+    def run_step(self, batch) -> Dict[str, float]:
+        if self.target_loader is None:
+            self.target_loader = iter(self._build_target_loader())
+        tgt = next(self.target_loader)
+        args = (
+            jnp.asarray(batch["images"]),
+            jnp.asarray(batch["sizes"]),
+            gt_instances(batch),
+            jnp.asarray(tgt["images"]),
+            jnp.asarray(tgt["sizes"]),
+        )
+        args = shard_batch(self.mesh, args)
+        self.state, metrics = self._train_step(self.state, *args, self.base_rng)
+        return metrics

@@ -1,0 +1,234 @@
+"""Supervised trainer + AdaBN refinement.
+
+TPU re-design of the reference's BaseTrainer
+(/root/reference/daod/engine/trainers/base.py): the whole run_step —
+weak augmentation (random flip), forward, losses, backward, SGD update, BN
+stat update — is ONE jitted, donated-argument function; AdaBN
+(base.py:318-337) is a jitted BN-statistics scan over the target loader.
+
+Data parallelism: the step function is jitted over a `Mesh(('data',))` with
+batch inputs sharded on the data axis and state replicated — XLA inserts the
+gradient all-reduce (the NCCL DDP equivalent, SURVEY §5)."""
+
+from __future__ import annotations
+
+import os
+import time
+from functools import partial
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ...checkpoint.checkpointer import Checkpointer
+from ...config.defaults import detector_config_from_cfg
+from ...data.loader import build_test_loader, build_train_loader, gt_instances
+from ...data.datasets import get_dataset
+from ...data import transforms as T
+from ...evaluation import COCOEvaluator, F1Evaluator
+from ...models.detector import DetectionBatch, Detector
+from ...parallel.mesh import make_mesh, shard_batch, replicate
+from ...solver.build import build_optimizer, warmup_multistep_schedule
+from ...structures.instances import Instances
+from ..eval_loop import inference_on_dataset
+from ..events import ConsoleWriter, EventStorage, JSONWriter
+from ..train_state import TrainState
+from . import register_trainer
+
+
+def apply_weak_aug(rng, images, sizes, gt: Instances):
+    """Random horizontal flip of image + GT, batched (the 'weak' pipeline of
+    the reference's mappers). Runs inside the jitted step."""
+
+    def per_image(rng_i, img, size, boxes):
+        w = size[1]
+        flipped, fboxes, did = T.random_hflip(rng_i, img, boxes, w)
+        return flipped, fboxes
+
+    rngs = jax.random.split(rng, images.shape[0])
+    images, boxes = jax.vmap(per_image)(rngs, images, sizes, gt.boxes)
+    return images, gt.replace(boxes=boxes)
+
+
+@register_trainer("base")
+class BaseTrainer:
+    """cfg.TRAINER = "base": supervised source training (SURVEY §3.1)."""
+
+    def __init__(self, cfg, synthetic: bool = False):
+        self.cfg = cfg
+        self.det_cfg = detector_config_from_cfg(cfg)
+        self.detector = Detector(self.det_cfg)
+        self.mesh = make_mesh(cfg.TPU.MESH_DATA)
+        self.output_dir = cfg.OUTPUT_DIR
+        os.makedirs(self.output_dir, exist_ok=True)
+        self.checkpointer = Checkpointer(self.output_dir)
+        self.storage = EventStorage()
+        self.writers = [
+            ConsoleWriter(cfg.SOLVER.MAX_ITER),
+            JSONWriter(os.path.join(self.output_dir, "metrics.json")),
+        ]
+        self.max_iter = cfg.SOLVER.MAX_ITER
+        self.synthetic = synthetic
+
+        self.optimizer = build_optimizer(cfg)
+        self.lr_schedule = warmup_multistep_schedule(
+            cfg.SOLVER.BASE_LR,
+            cfg.SOLVER.STEPS,
+            cfg.SOLVER.GAMMA,
+            cfg.SOLVER.FACTOR_LIST if len(cfg.SOLVER.FACTOR_LIST) else None,
+            cfg.SOLVER.WARMUP_ITERS,
+            cfg.SOLVER.WARMUP_FACTOR,
+        )
+        seed = max(cfg.SEED, 0)
+        self.base_rng = jax.random.key(seed)
+        self.state = replicate(self.mesh, self._init_state())
+        self._train_step = self._build_train_step()
+        self.train_loader = None
+
+    # -- state ---------------------------------------------------------------
+    def _init_state(self) -> TrainState:
+        variables = self.detector.init(self.base_rng, tuple(self.cfg.TPU.CANVAS))
+        params = variables["params"]
+        batch_stats = variables.get("batch_stats", {})
+        return TrainState(
+            step=jnp.zeros((), jnp.int32),
+            params=params,
+            batch_stats=batch_stats,
+            opt_state=self.optimizer.init(params),
+        )
+
+    def resume_or_load(self, resume: bool = False):
+        self.state = replicate(
+            self.mesh,
+            self.checkpointer.resume_or_load(self.cfg.MODEL.WEIGHTS, self.state, resume),
+        )
+        self.storage.iter = int(self.state.step)
+
+    # -- jitted step ---------------------------------------------------------
+    def _build_train_step(self):
+        det = self.detector
+        optimizer = self.optimizer
+
+        def step_fn(state: TrainState, images, sizes, gt: Instances, rng):
+            rng = jax.random.fold_in(rng, state.step)
+            rng_aug, rng_loss = jax.random.split(rng)
+            images, gt_aug = apply_weak_aug(rng_aug, images, sizes, gt)
+            batch = DetectionBatch(images=images, sizes=sizes, gt=gt_aug)
+
+            def loss_fn(params):
+                variables = {"params": params, "batch_stats": state.batch_stats}
+                total, metrics, new_stats = det.supervised_losses(
+                    variables, batch, rng_loss
+                )
+                return total, (metrics, new_stats)
+
+            (total, (metrics, new_stats)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True
+            )(state.params)
+            updates, new_opt = optimizer.update(grads, state.opt_state, state.params)
+            new_params = optax.apply_updates(state.params, updates)
+            metrics["total_loss"] = total
+            new_state = state.replace(
+                step=state.step + 1,
+                params=new_params,
+                batch_stats=new_stats,
+                opt_state=new_opt,
+            )
+            return new_state, metrics
+
+        return jax.jit(step_fn, donate_argnums=(0,))
+
+    # -- loops ---------------------------------------------------------------
+    def build_train_loader(self):
+        return build_train_loader(self.cfg, synthetic=self.synthetic)
+
+    def run_step(self, batch) -> Dict[str, float]:
+        images = jnp.asarray(batch["images"])
+        sizes = jnp.asarray(batch["sizes"])
+        gt = gt_instances(batch)
+        images, sizes, gt = shard_batch(self.mesh, (images, sizes, gt))
+        self.state, metrics = self._train_step(self.state, images, sizes, gt, self.base_rng)
+        return metrics
+
+    def train(self):
+        self.train_loader = self.train_loader or self.build_train_loader()
+        it = iter(self.train_loader)
+        start = int(self.state.step)
+        log_period = 20
+        for i in range(start, self.max_iter):
+            t0 = time.perf_counter()
+            batch = next(it)
+            data_time = time.perf_counter() - t0
+            metrics = self.run_step(batch)
+            self.storage.put_scalar("data_time", data_time)
+            self.storage.put_scalar("lr", float(self.lr_schedule(i)))
+            if (i + 1) % log_period == 0 or i == self.max_iter - 1:
+                for k, v in metrics.items():
+                    self.storage.put_scalar(k, float(v))
+                for w in self.writers:
+                    w.write(self.storage)
+            if self.cfg.SOLVER.CHECKPOINT_PERIOD > 0 and (i + 1) % self.cfg.SOLVER.CHECKPOINT_PERIOD == 0:
+                self.checkpointer.save(f"model_{i:07d}", self.state)
+            if self.cfg.TEST.EVAL_PERIOD > 0 and (i + 1) % self.cfg.TEST.EVAL_PERIOD == 0:
+                self.test()
+            self.storage.step()
+        self.checkpointer.save("model_final", self.state)
+
+    # -- evaluation ----------------------------------------------------------
+    def test(self, dataset_names=None) -> Dict:
+        results = {}
+        for name in dataset_names or self.cfg.DATASETS.TEST:
+            ds = get_dataset(name)
+            loader = build_test_loader(self.cfg, name, synthetic=self.synthetic)
+            evaluators = [COCOEvaluator(ds["thing_classes"]), F1Evaluator()]
+            res = inference_on_dataset(
+                self.detector,
+                self.state.variables(),
+                loader,
+                ds["thing_classes"],
+                evaluators,
+            )
+            results[name] = res
+            ap_line = {k: res.get(k) for k in ("AP", "AP50", "AP75", "F1")}
+            print(f"[eval] {name}: {ap_line}", flush=True)
+            self.storage.put_scalar(f"{name}/AP50", res.get("AP50", float("nan")))
+        return results
+
+    # -- AdaBN (reference base.py:318-337) ------------------------------------
+    def reset_bn_stats(self):
+        """Zero running means / unit running vars for every BN layer
+        (reference reset_bn_stats, base.py:318-328)."""
+        self.state = self.state.replace(batch_stats=reset_bn_tree(self.state.batch_stats))
+
+    def adabn_refinement(self, max_batches: int = 1400, loader=None) -> Dict:
+        """Recompute BN statistics on the (target) train set then evaluate —
+        the reference's `--eval-only` AdaBN workload (train_net_mt.py:82 ->
+        base.py:330-337). The BN update is one jitted function per step."""
+        self.reset_bn_stats()
+        loader = loader or self.build_train_loader()
+        bn_step = jax.jit(
+            lambda variables, images: self.detector.bn_update(variables, images)
+        )
+        for i, batch in enumerate(loader):
+            if i >= max_batches:
+                break
+            new_stats = bn_step(self.state.variables(), jnp.asarray(batch["images"]))
+            self.state = self.state.replace(batch_stats=new_stats)
+        results = self.test()
+        self.checkpointer.save("adabn", self.state)
+        return results
+
+
+def reset_bn_tree(batch_stats):
+    """flax BatchNorm stats: leaves named 'mean' -> 0, 'var' -> 1."""
+    def reset(path, leaf):
+        names = [getattr(p, "key", getattr(p, "name", "")) for p in path]
+        if any(n == "mean" for n in names):
+            return jnp.zeros_like(leaf)
+        if any(n == "var" for n in names):
+            return jnp.ones_like(leaf)
+        return leaf
+
+    return jax.tree_util.tree_map_with_path(reset, batch_stats)

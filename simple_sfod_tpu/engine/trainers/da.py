@@ -1,0 +1,214 @@
+"""DA-Faster-RCNN trainer (+ the conditional-DA variant).
+
+Re-design of the reference's DATrainer (daod/engine/trainers/da.py) with the
+DAFasterRCNN / CDAFasterRCNN meta-architectures
+(daod/modeling/meta_arch/da_faster_rcnn.py: image_dc_loss :228,
+instance_dc_loss :243, consistency_loss :253; cda_faster_rcnn.py:22-243):
+supervised source losses + image/instance domain discriminators behind
+gradient-reversal (weights DA_FASTER.DC_IMG_GRL_WEIGHT etc.) + an
+image<->instance consistency L1. The CDA variant conditions the instance
+discriminator on predictions via a multilinear feature (x) prediction map.
+One jitted step over a paired (source, target) batch."""
+
+from __future__ import annotations
+
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ...data.loader import build_train_loader, gt_instances
+from ...models.dann import DAImgHead, DAInsHead, gradient_scalar
+from ...models.detector import DetectionBatch
+from ...models.faster_rcnn import anchors_for, propose, pool_rois, RPNOutput
+from ...ops.losses import sigmoid_ce
+from ...parallel.mesh import shard_batch
+from ...structures.instances import Instances
+from ..train_state import TrainState
+from . import register_trainer
+from .base import BaseTrainer, apply_weak_aug
+
+
+class _DATrainerBase(BaseTrainer):
+    conditional = False  # CDA: multiply instance features by class probs
+
+    def __init__(self, cfg, synthetic: bool = False):
+        super().__init__(cfg, synthetic=synthetic)
+        self.target_loader = None
+
+    def _init_state(self) -> TrainState:
+        variables = self.detector.init(self.base_rng, tuple(self.cfg.TPU.CANVAS))
+        self.da_img_head = DAImgHead(dtype=self.det_cfg.dtype)
+        self.da_ins_head = DAInsHead(dtype=self.det_cfg.dtype)
+        feat_hw = (
+            self.cfg.TPU.CANVAS[0] // self.det_cfg.stride,
+            self.cfg.TPU.CANVAS[1] // self.det_cfg.stride,
+        )
+        c = self.det_cfg.feature_channels
+        img_dummy = jnp.zeros((1, *feat_hw, c))
+        ins_dim = self.det_cfg.fc_dim * (
+            (self.det_cfg.num_classes + 1) if self.conditional else 1
+        )
+        params = {
+            "det": variables["params"],
+            "da_img": self.da_img_head.init(self.base_rng, img_dummy)["params"],
+            "da_ins": self.da_ins_head.init(
+                self.base_rng, jnp.zeros((1, ins_dim)), train=False
+            )["params"],
+        }
+        return TrainState(
+            step=jnp.zeros((), jnp.int32),
+            params=params,
+            batch_stats=variables.get("batch_stats", {}),
+            opt_state=self.optimizer.init(params),
+        )
+
+    def _build_target_loader(self):
+        return build_train_loader(
+            self.cfg,
+            dataset_names=self.cfg.DATASETS.TRAIN_TARGET,
+            batch_size=self.cfg.SOLVER.IMS_PER_BATCH_TARGET,
+            seed=self.cfg.SEED + 1,
+            synthetic=self.synthetic,
+        )
+
+    def _build_train_step(self):
+        det = self.detector
+        det_cfg = self.det_cfg
+        cfg = self.cfg
+        optimizer = self.optimizer
+        w_img = float(cfg.DA_FASTER.DC_IMG_GRL_WEIGHT)
+        w_ins = float(cfg.DA_FASTER.DC_INS_GRL_WEIGHT)
+        w_cst = float(cfg.DA_FASTER.DC_CONSISTENCY_WEIGHT)
+        conditional = self.conditional
+        da_img_head = self.da_img_head
+        da_ins_head = self.da_ins_head
+        num_ins = 64
+
+        def dc_losses(params, variables, images, sizes, domain_label, rng):
+            feature = det.module.apply(
+                variables, images, False, method=type(det.module).features
+            )
+            # image-level
+            rev = gradient_scalar(feature, -w_img)
+            img_out = da_img_head.apply({"params": params["da_img"]}, rev)
+            img_tgt = jnp.full_like(img_out, domain_label)
+            loss_img = jnp.mean(sigmoid_ce(img_out, img_tgt))
+            # instance-level: pooled box-head features of top proposals
+            anchors = anchors_for(det_cfg, images.shape[1:3])
+            rpn_out = det._rpn(variables, feature)
+            proposals = propose(det_cfg, anchors, rpn_out, sizes, training=True)
+            boxes = jax.lax.stop_gradient(proposals.boxes[:, :num_ins])
+            pooled = pool_rois(det_cfg, feature, boxes)
+            feats = det.module.apply(
+                variables,
+                pooled,
+                False,
+                method=lambda m, p, t: m.box_head(p, train=t),
+            )
+            if conditional:
+                scores, _ = det.module.apply(
+                    variables, pooled, False, method=type(det.module).box
+                )
+                probs = jax.nn.softmax(jax.lax.stop_gradient(scores), axis=-1)
+                feats = (feats[:, :, None] * probs[:, None, :]).reshape(feats.shape[0], -1)
+            ins_out = da_ins_head.apply(
+                {"params": params["da_ins"]},
+                gradient_scalar(feats, -w_ins),
+                train=True,
+                rngs={"dropout": rng},
+            )
+            ins_tgt = jnp.full_like(ins_out, domain_label)
+            loss_ins = jnp.mean(sigmoid_ce(ins_out, ins_tgt))
+            # image<->instance consistency (da_faster_rcnn.py:253):
+            # |mean image-domain prob - per-instance prob| L1
+            img_prob = jax.nn.sigmoid(img_out).mean()
+            ins_prob = jax.nn.sigmoid(ins_out)
+            loss_cst = jnp.mean(jnp.abs(ins_prob - img_prob))
+            return loss_img, loss_ins, loss_cst
+
+        def step_fn(state, src_images, src_sizes, src_gt: Instances, tgt_images, tgt_sizes, rng):
+            rng = jax.random.fold_in(rng, state.step)
+            k_flip, k_sup, k_dc_s, k_dc_t = jax.random.split(rng, 4)
+            src_images, src_gt = apply_weak_aug(k_flip, src_images, src_sizes, src_gt)
+
+            def loss_fn(params):
+                variables = {"params": params["det"], "batch_stats": state.batch_stats}
+                sup_total, metrics, new_stats = det.supervised_losses(
+                    variables, DetectionBatch(src_images, src_sizes, src_gt), k_sup
+                )
+                li_s, ln_s, lc_s = dc_losses(params, variables, src_images, src_sizes, 0.0, k_dc_s)
+                li_t, ln_t, lc_t = dc_losses(params, variables, tgt_images, tgt_sizes, 1.0, k_dc_t)
+                metrics["loss_DC_img"] = li_s + li_t
+                metrics["loss_DC_ins"] = ln_s + ln_t
+                metrics["loss_consistency"] = lc_s + lc_t
+                total = (
+                    sup_total
+                    + (li_s + li_t)
+                    + (ln_s + ln_t)
+                    + w_cst * (lc_s + lc_t)
+                )
+                return total, (metrics, new_stats)
+
+            (total, (metrics, new_stats)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                state.params
+            )
+            updates, new_opt = optimizer.update(grads, state.opt_state, state.params)
+            new_params = optax.apply_updates(state.params, updates)
+            metrics["total_loss"] = total
+            return (
+                state.replace(
+                    step=state.step + 1,
+                    params=new_params,
+                    batch_stats=new_stats,
+                    opt_state=new_opt,
+                ),
+                metrics,
+            )
+
+        return jax.jit(step_fn, donate_argnums=(0,))
+
+    def run_step(self, batch) -> Dict[str, float]:
+        if self.target_loader is None:
+            self.target_loader = iter(self._build_target_loader())
+        tgt = next(self.target_loader)
+        args = (
+            jnp.asarray(batch["images"]),
+            jnp.asarray(batch["sizes"]),
+            gt_instances(batch),
+            jnp.asarray(tgt["images"]),
+            jnp.asarray(tgt["sizes"]),
+        )
+        args = shard_batch(self.mesh, args)
+        self.state, metrics = self._train_step(self.state, *args, self.base_rng)
+        return metrics
+
+    def test(self, dataset_names=None):
+        # student-only eval; the DA state keys params under "det"
+        from ...data.datasets import get_dataset
+        from ...data.loader import build_test_loader
+        from ...evaluation import COCOEvaluator, F1Evaluator
+        from ..eval_loop import inference_on_dataset
+
+        variables = {"params": self.state.params["det"], "batch_stats": self.state.batch_stats}
+        results = {}
+        for name in dataset_names or self.cfg.DATASETS.TEST:
+            ds = get_dataset(name)
+            loader = build_test_loader(self.cfg, name, synthetic=self.synthetic)
+            res = inference_on_dataset(
+                self.detector, variables, loader, ds["thing_classes"],
+                [COCOEvaluator(ds["thing_classes"]), F1Evaluator()],
+            )
+            results[name] = res
+        return results
+
+
+@register_trainer("da")
+class DATrainer(_DATrainerBase):
+    conditional = False
+
+
+@register_trainer("cda")
+class CDATrainer(_DATrainerBase):
+    conditional = True

@@ -1,0 +1,297 @@
+"""Source-free adaptive/mean-teacher self-training — the flagship workload.
+
+TPU re-design of the reference's SourceFreeAdaptiveTeacherTrainer
+(/root/reference/daod/engine/trainers/source_free_adaptive_teacher.py) and
+its `_single` / `_mosaic` variants: teacher inference on the weak view,
+confidence- (or FlexMatch-adaptive-) thresholded pseudo-labels, student update
+on the strong view, EMA teacher — ALL inside one jitted, donated-argument
+step function. The strong view is *derived on device* from the weak batch
+(data/transforms.strong_augment), so each step ships one image batch to HBM.
+
+Loss weighting matches the reference run_step (:539-568): every pseudo loss
+(cls, box_reg, rpn_cls, rpn_loc) x UNSUP_LOSS_WEIGHT, supervised-source terms
+absent (source-free), BPC logged but weighted 0, DC losses x DIS_LOSS_WEIGHT.
+
+Variants (reference file-level forks become flags):
+  source_free_adaptive_teacher         pseudo-labels from TEACHER; EMA OFF
+                                       (reference :581 comments the update out)
+  source_free_adaptive_teacher_single  pseudo-labels from STUDENT; EMA ON
+  source_free_adaptive_teacher_mosaic  as main but EMA ON (dead duplicate in
+                                       the reference; kept for CLI parity)
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ...data import transforms as T
+from ...data.loader import build_train_loader
+from ...models.dann import FCDiscriminatorImg, gradient_scalar
+from ...models.detector import DetectionBatch
+from ...ops.losses import sigmoid_ce
+from ...parallel.mesh import shard_batch
+from ...structures.instances import Instances
+from ..train_state import AdaptiveThresholdState, TeacherStudentState, ema_update
+from . import register_trainer
+from .base import BaseTrainer, apply_weak_aug
+
+# Cityscapes classes 0 (person) and 2 (car) are pinned to acc=1 by the
+# reference's update_adaptive_threshold (sfat.py:304-309): dominant classes
+# whose counts would otherwise flatten every other class's threshold.
+PINNED_CLASSES = (0, 2)
+
+
+class SourceFreeAdaptiveTeacherTrainer(BaseTrainer):
+    pseudo_from_student = False
+    ema_enabled = False
+
+    def __init__(self, cfg, synthetic: bool = False):
+        self.dc_enabled = bool(cfg.DOMAIN_CLASSIFIER.ENABLED)
+        super().__init__(cfg, synthetic=synthetic)
+
+    # -- state ---------------------------------------------------------------
+    def _init_state(self) -> TeacherStudentState:
+        variables = self.detector.init(self.base_rng, tuple(self.cfg.TPU.CANVAS))
+        det_params = variables["params"]
+        batch_stats = variables.get("batch_stats", {})
+        params = {"det": det_params}
+        if self.dc_enabled:
+            self.dc_img = FCDiscriminatorImg(dtype=self.det_cfg.dtype)
+            feat_hw = (
+                self.cfg.TPU.CANVAS[0] // self.det_cfg.stride,
+                self.cfg.TPU.CANVAS[1] // self.det_cfg.stride,
+            )
+            dummy = jnp.zeros((1, *feat_hw, self.det_cfg.feature_channels))
+            params["dc"] = self.dc_img.init(self.base_rng, dummy)["params"]
+        # teacher starts as a COPY of the student (both from the source
+        # checkpoint); distinct buffers are required because the jitted step
+        # donates the whole state (same-buffer donation is illegal).
+        copy = lambda tree: jax.tree.map(jnp.array, tree)
+        return TeacherStudentState(
+            step=jnp.zeros((), jnp.int32),
+            params=params,
+            batch_stats=batch_stats,
+            opt_state=self.optimizer.init(params),
+            teacher_params=copy(det_params),
+            teacher_stats=copy(batch_stats),
+            thresh=AdaptiveThresholdState.create(
+                self.det_cfg.num_classes, self.cfg.ADAPTIVE_THRESHOLD.RESERVE
+            ),
+        )
+
+    def build_train_loader(self):
+        # source-free: the (unlabeled) target domain is the train set
+        # (reference build_train_loader, sfat.py:96-103)
+        return build_train_loader(
+            self.cfg,
+            dataset_names=self.cfg.DATASETS.TRAIN_TARGET or self.cfg.DATASETS.TRAIN,
+            batch_size=self.cfg.SOLVER.IMS_PER_BATCH_TARGET,
+            synthetic=self.synthetic,
+        )
+
+    # -- jitted adaptation step -----------------------------------------------
+    def _build_train_step(self):
+        det = self.detector
+        det_cfg = self.det_cfg
+        cfg = self.cfg
+        optimizer = self.optimizer
+        bbox_threshold = float(cfg.SEMISUPNET.BBOX_THRESHOLD)
+        unsup_w = float(cfg.SEMISUPNET.UNSUP_LOSS_WEIGHT)
+        dis_w = float(cfg.SEMISUPNET.DIS_LOSS_WEIGHT)
+        adaptive_on = bool(cfg.ADAPTIVE_THRESHOLD.ENABLED)
+        warm_up = int(cfg.ADAPTIVE_THRESHOLD.WARM_UP)
+        reserve_n = int(cfg.ADAPTIVE_THRESHOLD.RESERVE)
+        keep_rate = float(cfg.SEMISUPNET.EMA_KEEP_RATE)
+        update_iter = max(int(cfg.SEMISUPNET.TEACHER_UPDATE_ITER), 1)
+        weak_strong = bool(cfg.WEAK_STRONG_AUGMENT)
+        num_classes = det_cfg.num_classes
+        pseudo_capacity = det_cfg.detections_per_image
+        dc_enabled = self.dc_enabled
+        dc_image = bool(cfg.DOMAIN_CLASSIFIER.IMAGE)
+        pseudo_from_student = self.pseudo_from_student
+        ema_enabled = self.ema_enabled
+        dc_img = getattr(self, "dc_img", None)
+
+        def step_fn(state: TeacherStudentState, images, sizes, rng):
+            rng = jax.random.fold_in(rng, state.step)
+            rng_flip, rng_strong, rng_loss, rng_dc = jax.random.split(rng, 4)
+
+            # 1. weak view: random flip (geometry shared by both views)
+            dummy_gt = Instances.empty(1)
+            dummy_gt = jax.tree.map(
+                lambda x: jnp.broadcast_to(x[None], (images.shape[0],) + x.shape), dummy_gt
+            )
+            images_w, _ = apply_weak_aug(rng_flip, images, sizes, dummy_gt)
+
+            # 2. strong view, derived on device (reference mapper :141-157)
+            if weak_strong:
+                rngs = jax.random.split(rng_strong, images.shape[0])
+                images_s = jax.vmap(T.strong_augment)(rngs, images_w)
+            else:
+                images_s = images_w
+
+            # 3. teacher (or student: `_single` variant) pseudo-labels on weak
+            if pseudo_from_student:
+                pl_vars = {"params": state.params["det"], "batch_stats": state.batch_stats}
+            else:
+                pl_vars = state.teacher_variables()
+            dets = det.infer(pl_vars, images_w, sizes, topk=pseudo_capacity)
+            dets = jax.tree.map(jax.lax.stop_gradient, dets)
+
+            # 4. adaptive-threshold bookkeeping (sfat.py:393-404 + :282-333)
+            fixed_mask = dets.valid & (dets.scores > bbox_threshold)
+            counts = jnp.sum(
+                jax.nn.one_hot(dets.classes, num_classes, dtype=jnp.int32)
+                * fixed_mask[..., None].astype(jnp.int32),
+                axis=(0, 1),
+            )
+            thresh = state.thresh
+            reserve = jax.lax.dynamic_update_index_in_dim(
+                thresh.reserve, counts, state.step % reserve_n, axis=0
+            )
+            counter = jnp.sum(reserve, axis=0).astype(jnp.float32)
+            counter = counter.at[jnp.asarray(PINNED_CLASSES)].set(0.0)
+            acc = counter / jnp.maximum(jnp.max(counter), 1.0)
+            acc = acc.at[jnp.asarray(PINNED_CLASSES)].set(1.0)
+            new_thresh = AdaptiveThresholdState(
+                reserve=reserve, classwise_acc=acc, cursor=thresh.cursor + 1
+            )
+
+            # 5. pseudo-label mask: FlexMatch convex rule after warm-up
+            # (adaptive_confidence.py:29), fixed threshold before
+            per_det_acc = jnp.take(acc, dets.classes, axis=0)
+            adaptive_thr = bbox_threshold * per_det_acc / (2.0 - per_det_acc)
+            use_adaptive = jnp.asarray(adaptive_on) & (state.step >= warm_up)
+            eff_thr = jnp.where(use_adaptive, adaptive_thr, bbox_threshold)
+            pseudo_valid = dets.valid & (dets.scores >= eff_thr)
+            pseudo_gt = Instances(
+                boxes=dets.boxes,
+                scores=dets.scores,
+                classes=dets.classes,
+                valid=pseudo_valid,
+            )
+
+            # 6. student losses on the strong view vs pseudo-GT
+            batch = DetectionBatch(images=images_s, sizes=sizes, gt=pseudo_gt)
+
+            def loss_fn(params):
+                variables = {"params": params["det"], "batch_stats": state.batch_stats}
+                total, metrics, new_stats = det.supervised_losses(
+                    variables, batch, rng_loss
+                )
+                metrics = {f"{k}_pseudo": v for k, v in metrics.items()}
+                total = total * unsup_w
+                if dc_enabled:
+                    # image-level discriminator with gradient reversal:
+                    # strong/enhanced view labelled source(=0), weak view
+                    # target(=1) (meta_arch :137-210)
+                    feat_s = det.module.apply(
+                        variables, images_s, False, method=type(det.module).features
+                    )
+                    feat_t = det.module.apply(
+                        variables, images_w, False, method=type(det.module).features
+                    )
+                    out_s = dc_img.apply({"params": params["dc"]}, gradient_scalar(feat_s, -1.0))
+                    out_t = dc_img.apply({"params": params["dc"]}, gradient_scalar(feat_t, -1.0))
+                    loss_s = jnp.mean(sigmoid_ce(out_s, jnp.zeros_like(out_s)))
+                    loss_t = jnp.mean(sigmoid_ce(out_t, jnp.ones_like(out_t)))
+                    metrics["loss_DC_img_s"] = loss_s
+                    metrics["loss_DC_img_t"] = loss_t
+                    if dc_image:
+                        total = total + dis_w * (loss_s + loss_t)
+                return total, (metrics, new_stats)
+
+            (total, (metrics, new_stats)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True
+            )(state.params)
+            updates, new_opt = optimizer.update(grads, state.opt_state, state.params)
+            new_params = optax.apply_updates(state.params, updates)
+
+            # 7. EMA teacher update (reference :583-603; disabled in the main
+            # variant, enabled in _single/_mosaic)
+            if ema_enabled:
+                do_update = (state.step % update_iter) == 0
+                rate = jnp.where(do_update, keep_rate, 1.0)
+                new_teacher_params = ema_update(state.teacher_params, new_params["det"], rate)
+                new_teacher_stats = ema_update(state.teacher_stats, new_stats, rate)
+            else:
+                new_teacher_params = state.teacher_params
+                new_teacher_stats = state.teacher_stats
+
+            metrics["total_loss"] = total
+            metrics["num_pseudo"] = jnp.sum(pseudo_valid.astype(jnp.int32))
+            metrics["pseudo_mean_conf"] = jnp.sum(
+                dets.scores * dets.valid.astype(jnp.float32)
+            ) / jnp.maximum(jnp.sum(dets.valid.astype(jnp.float32)), 1.0)
+
+            new_state = TeacherStudentState(
+                step=state.step + 1,
+                params=new_params,
+                batch_stats=new_stats,
+                opt_state=new_opt,
+                teacher_params=new_teacher_params,
+                teacher_stats=new_teacher_stats,
+                thresh=new_thresh,
+            )
+            return new_state, metrics
+
+        return jax.jit(step_fn, donate_argnums=(0,))
+
+    def run_step(self, batch) -> Dict[str, float]:
+        images = jnp.asarray(batch["images"])
+        sizes = jnp.asarray(batch["sizes"])
+        images, sizes = shard_batch(self.mesh, (images, sizes))
+        self.state, metrics = self._train_step(self.state, images, sizes, self.base_rng)
+        return metrics
+
+    # -- evaluation: test BOTH student and teacher (sfat.py:647-675) ----------
+    def test(self, dataset_names=None) -> Dict:
+        results = {}
+        for tag, variables in (
+            ("student", {"params": self.state.params["det"], "batch_stats": self.state.batch_stats}),
+            ("teacher", self.state.teacher_variables()),
+        ):
+            from ...data.datasets import get_dataset
+            from ...data.loader import build_test_loader
+            from ...evaluation import COCOEvaluator, F1Evaluator
+            from ..eval_loop import inference_on_dataset
+
+            for name in dataset_names or self.cfg.DATASETS.TEST:
+                ds = get_dataset(name)
+                loader = build_test_loader(self.cfg, name, synthetic=self.synthetic)
+                res = inference_on_dataset(
+                    self.detector,
+                    variables,
+                    loader,
+                    ds["thing_classes"],
+                    [COCOEvaluator(ds["thing_classes"]), F1Evaluator()],
+                )
+                results[f"{name}/{tag}"] = res
+                print(
+                    f"[eval:{tag}] {name}: AP50={res.get('AP50'):.2f} AP={res.get('AP'):.2f}",
+                    flush=True,
+                )
+        return results
+
+
+@register_trainer("source_free_adaptive_teacher")
+class SFATMain(SourceFreeAdaptiveTeacherTrainer):
+    pseudo_from_student = False
+    ema_enabled = False  # fixed teacher (reference :581 commented out)
+
+
+@register_trainer("source_free_adaptive_teacher_single")
+class SFATSingle(SourceFreeAdaptiveTeacherTrainer):
+    pseudo_from_student = True
+    ema_enabled = True
+
+
+@register_trainer("source_free_adaptive_teacher_mosaic")
+class SFATMosaic(SourceFreeAdaptiveTeacherTrainer):
+    pseudo_from_student = False
+    ema_enabled = True

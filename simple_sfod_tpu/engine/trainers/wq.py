@@ -1,0 +1,103 @@
+"""Fixed pseudo-label self-training trainers (the reference's BaseWQTrainer
+family, daod/engine/trainers/base_wq.py + base_mosaic / base_mixup /
+base_mosaic_wq / base_mosaic_wq_new — four near-identical forks that differ
+only in the dataset wrapper; here they are one trainer with an `aug` flag).
+
+Workflow (SURVEY §3.5): an AdaBN model's detections are spliced into the
+target train JSON (tools/prediction_to_gt.py), re-registered as GT, and this
+trainer runs supervised training with strong augmentation — WQ (strong
+photometric), mosaic, or mixup — all applied on device inside the jitted
+step."""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ...data import transforms as T
+from ...data.mosaic import mixup_batch, mosaic_batch
+from ...models.detector import DetectionBatch
+from ...structures.instances import Instances
+from ..train_state import TrainState
+from . import register_trainer
+from .base import BaseTrainer, apply_weak_aug
+
+
+class WQTrainer(BaseTrainer):
+    aug: str = "wq"  # "wq" | "mosaic" | "mixup" | "mosaic_wq"
+
+    def _build_train_step(self):
+        det = self.detector
+        optimizer = self.optimizer
+        aug = self.aug
+
+        def step_fn(state: TrainState, images, sizes, gt: Instances, rng):
+            rng = jax.random.fold_in(rng, state.step)
+            rng_flip, rng_mix, rng_strong, rng_loss = jax.random.split(rng, 4)
+            images, gt = apply_weak_aug(rng_flip, images, sizes, gt)
+            if aug in ("mosaic", "mosaic_wq"):
+                images, gt = mosaic_batch(rng_mix, images, gt)
+                sizes = jnp.broadcast_to(
+                    jnp.asarray(images.shape[1:3], jnp.int32), sizes.shape
+                )
+            elif aug == "mixup":
+                images, gt = mixup_batch(rng_mix, images, gt)
+            if aug in ("wq", "mosaic_wq"):
+                rngs = jax.random.split(rng_strong, images.shape[0])
+                images = jax.vmap(T.strong_augment)(rngs, images)
+            batch = DetectionBatch(images=images, sizes=sizes, gt=gt)
+
+            def loss_fn(params):
+                variables = {"params": params, "batch_stats": state.batch_stats}
+                total, metrics, new_stats = det.supervised_losses(
+                    variables, batch, rng_loss
+                )
+                return total, (metrics, new_stats)
+
+            (total, (metrics, new_stats)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True
+            )(state.params)
+            updates, new_opt = optimizer.update(grads, state.opt_state, state.params)
+            new_params = optax.apply_updates(state.params, updates)
+            metrics["total_loss"] = total
+            return (
+                state.replace(
+                    step=state.step + 1,
+                    params=new_params,
+                    batch_stats=new_stats,
+                    opt_state=new_opt,
+                ),
+                metrics,
+            )
+
+        return jax.jit(step_fn, donate_argnums=(0,))
+
+
+@register_trainer("base_wq")
+class BaseWQTrainer(WQTrainer):
+    aug = "wq"
+
+
+@register_trainer("base_mosaic")
+class BaseMosaicTrainer(WQTrainer):
+    aug = "mosaic"
+
+
+@register_trainer("base_mixup")
+class BaseMixupTrainer(WQTrainer):
+    aug = "mixup"
+
+
+@register_trainer("base_mosaic_wq")
+class BaseMosaicWQTrainer(WQTrainer):
+    # strong aug on the assembled canvas (reference mosaic_wq.py:218-219)
+    aug = "mosaic_wq"
+
+
+@register_trainer("base_mosaic_wq_new")
+class BaseMosaicWQNewTrainer(WQTrainer):
+    # reference fork applies strong aug per tile (mosaic_wq_new.py:152-153);
+    # photometric ops commute with the composite up to erasing placement, so
+    # the canvas-level pipeline is reused
+    aug = "mosaic_wq"

@@ -1,0 +1,61 @@
+"""Detection expected calibration error (reference daod/evaluation/dece.py,
+which binned detection confidences with netcal's ECE :129-134). netcal is not
+a dependency; equal-width confidence binning over matched/unmatched
+detections reproduces the metric."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .coco_eval import _iou
+
+
+class DECEEvaluator:
+    def __init__(self, iou_thresh: float = 0.5, bins: int = 10, score_thresh: float = 0.05):
+        self.iou_thresh = iou_thresh
+        self.bins = bins
+        self.score_thresh = score_thresh
+        self.reset()
+
+    def reset(self):
+        self.confidences = []
+        self.correct = []
+
+    def process_image(self, det_boxes, det_scores, det_classes, gt_boxes, gt_classes):
+        det_boxes = np.asarray(det_boxes, np.float64).reshape(-1, 4)
+        det_scores = np.asarray(det_scores, np.float64)
+        det_classes = np.asarray(det_classes)
+        gt_boxes = np.asarray(gt_boxes, np.float64).reshape(-1, 4)
+        gt_classes = np.asarray(gt_classes)
+        keep = det_scores >= self.score_thresh
+        det_boxes, det_scores, det_classes = det_boxes[keep], det_scores[keep], det_classes[keep]
+        order = np.argsort(-det_scores, kind="stable")
+        det_boxes, det_scores, det_classes = det_boxes[order], det_scores[order], det_classes[order]
+        taken = np.zeros(len(gt_boxes), bool)
+        ious = _iou(det_boxes, gt_boxes) if len(det_boxes) and len(gt_boxes) else None
+        for di in range(len(det_boxes)):
+            hit = False
+            if ious is not None:
+                for gi in range(len(gt_boxes)):
+                    if taken[gi] or gt_classes[gi] != det_classes[di]:
+                        continue
+                    if ious[di, gi] >= self.iou_thresh:
+                        taken[gi] = True
+                        hit = True
+                        break
+            self.confidences.append(det_scores[di])
+            self.correct.append(hit)
+
+    def evaluate(self) -> dict:
+        conf = np.asarray(self.confidences)
+        corr = np.asarray(self.correct, np.float64)
+        if len(conf) == 0:
+            return {"DECE": float("nan")}
+        edges = np.linspace(0, 1, self.bins + 1)
+        ece = 0.0
+        for b in range(self.bins):
+            sel = (conf >= edges[b]) & (conf < edges[b + 1] if b < self.bins - 1 else conf <= 1.0)
+            if sel.sum() == 0:
+                continue
+            ece += sel.mean() * abs(conf[sel].mean() - corr[sel].mean())
+        return {"DECE": float(ece)}

@@ -1,0 +1,3 @@
+from .mesh import make_mesh, shard_batch, replicate, initialize_distributed
+
+__all__ = ["make_mesh", "shard_batch", "replicate", "initialize_distributed"]
