@@ -16,12 +16,41 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 from __future__ import annotations
 
 import json
+import signal
+import sys
 import time
 
 REFERENCE_IMGS_PER_SEC = 4.5  # assumed A100 Detectron2 baseline (see docstring)
 
 
+def _watchdog(seconds: int = 2400):
+    """The axon TPU tunnel can wedge (ops hang forever, ~0 CPU). Emit a
+    sentinel result instead of hanging the driver."""
+
+    def handler(signum, frame):
+        print(
+            json.dumps(
+                {
+                    "metric": "sfat_adaptation_imgs_per_sec_per_chip",
+                    "value": 0.0,
+                    "unit": "imgs/s/chip",
+                    "vs_baseline": 0.0,
+                    "error": f"timeout after {seconds}s (TPU tunnel hung?)",
+                }
+            )
+        )
+        sys.stdout.flush()
+        # SIGKILL ourselves: a wedged TPU client cannot exit cleanly
+        import os
+
+        os.kill(os.getpid(), signal.SIGKILL)
+
+    signal.signal(signal.SIGALRM, handler)
+    signal.alarm(seconds)
+
+
 def main():
+    _watchdog()
     import numpy as np
 
     from simple_sfod_tpu.config import get_cfg

@@ -22,11 +22,20 @@ def inference_on_dataset(
     evaluators: Optional[list] = None,
     train_mode_bn: bool = False,
     jit_infer=None,
+    dump_json: Optional[str] = None,
+    category_ids: Optional[dict] = None,
 ) -> Dict:
     """Run inference over a test loader; boxes are mapped back to original
-    file coordinates (divide by the resize scale) before evaluation."""
+    file coordinates (divide by the resize scale) before evaluation.
+
+    dump_json: optional path for a COCO detections dump
+    (`coco_instances_results.json`, the input of
+    tools/converters/prediction_to_gt.py — stage 1 of the fixed-pseudo-label
+    pipeline, SURVEY §3.5). category_ids maps contiguous ids back to the
+    dataset's COCO category ids (default: +1)."""
     if evaluators is None:
         evaluators = [COCOEvaluator(thing_classes), F1Evaluator()]
+    dump = [] if dump_json else None
 
     if jit_infer is None:
         jit_infer = jax.jit(
@@ -52,24 +61,39 @@ def inference_on_dataset(
             file_boxes = np.clip(file_boxes, 0, [w, h, w, h])
             gt_keep = batch["gt_valid"][i]
             gt_boxes = batch["gt_boxes"][i][gt_keep] / max(float(batch["scale"][i]), 1e-8)
+            if dump is not None:
+                for b, s, c in zip(file_boxes, scores[i][keep], classes[i][keep]):
+                    cat = category_ids.get(int(c), int(c) + 1) if category_ids else int(c) + 1
+                    dump.append(
+                        {
+                            "image_id": img_id,
+                            "category_id": cat,
+                            "bbox": [
+                                float(b[0]),
+                                float(b[1]),
+                                float(b[2] - b[0]),
+                                float(b[3] - b[1]),
+                            ],
+                            "score": float(s),
+                        }
+                    )
             for ev in evaluators:
-                if isinstance(ev, COCOEvaluator):
-                    ev.process_image(
-                        img_id,
-                        file_boxes,
-                        scores[i][keep],
-                        classes[i][keep],
-                        gt_boxes,
-                        batch["gt_classes"][i][gt_keep],
-                    )
-                else:
-                    ev.process_image(
-                        file_boxes,
-                        scores[i][keep],
-                        classes[i][keep],
-                        gt_boxes,
-                        batch["gt_classes"][i][gt_keep],
-                    )
+                ev.process_image(
+                    img_id,
+                    file_boxes,
+                    scores[i][keep],
+                    classes[i][keep],
+                    gt_boxes,
+                    batch["gt_classes"][i][gt_keep],
+                )
+
+    if dump is not None:
+        import json
+        import os
+
+        os.makedirs(os.path.dirname(dump_json) or ".", exist_ok=True)
+        with open(dump_json, "w") as f:
+            json.dump(dump, f)
 
     results = {}
     for ev in evaluators:

@@ -60,7 +60,20 @@ class BaseTrainer:
         self.cfg = cfg
         self.det_cfg = detector_config_from_cfg(cfg)
         self.detector = Detector(self.det_cfg)
-        self.mesh = make_mesh(cfg.TPU.MESH_DATA)
+        if cfg.TPU.MESH_DATA > 0:
+            mesh_n = cfg.TPU.MESH_DATA
+        else:
+            # data-parallel width must divide every batch it shards
+            import math
+
+            mesh_n = math.gcd(
+                len(jax.devices()),
+                math.gcd(
+                    max(cfg.SOLVER.IMS_PER_BATCH, 1),
+                    max(cfg.SOLVER.IMS_PER_BATCH_TARGET, 1),
+                ),
+            )
+        self.mesh = make_mesh(mesh_n)
         self.output_dir = cfg.OUTPUT_DIR
         os.makedirs(self.output_dir, exist_ok=True)
         self.checkpointer = Checkpointer(self.output_dir)
@@ -152,11 +165,32 @@ class BaseTrainer:
         self.state, metrics = self._train_step(self.state, images, sizes, gt, self.base_rng)
         return metrics
 
+    def _build_val_loss_hook(self):
+        """ValLossHook parity (reference engine/hooks/val_loss.py, enabled by
+        TEST.VAL_LOSS): periodic detector losses on the first TEST set."""
+        from ..hooks import ValLossHook
+
+        if not (self.cfg.TEST.VAL_LOSS and self.cfg.TEST.EVAL_PERIOD > 0 and self.cfg.DATASETS.TEST):
+            return None
+        name = self.cfg.DATASETS.TEST[0]
+
+        def factory():
+            return build_test_loader(self.cfg, name, synthetic=self.synthetic)
+
+        return ValLossHook(self.detector, factory, period=self.cfg.TEST.EVAL_PERIOD)
+
+    def _hook_variables(self):
+        params = self.state.params
+        if isinstance(params, dict) and "det" in params:
+            params = params["det"]
+        return {"params": params, "batch_stats": self.state.batch_stats}
+
     def train(self):
         self.train_loader = self.train_loader or self.build_train_loader()
         it = iter(self.train_loader)
         start = int(self.state.step)
         log_period = 20
+        val_hook = self._build_val_loss_hook()
         for i in range(start, self.max_iter):
             t0 = time.perf_counter()
             batch = next(it)
@@ -173,22 +207,42 @@ class BaseTrainer:
                 self.checkpointer.save(f"model_{i:07d}", self.state)
             if self.cfg.TEST.EVAL_PERIOD > 0 and (i + 1) % self.cfg.TEST.EVAL_PERIOD == 0:
                 self.test()
+            if val_hook is not None:
+                val_hook.after_step(i, self._hook_variables(), self.base_rng, self.storage)
             self.storage.step()
         self.checkpointer.save("model_final", self.state)
 
     # -- evaluation ----------------------------------------------------------
     def test(self, dataset_names=None) -> Dict:
+        if self.cfg.TEST.PRECISE_BN.ENABLED:
+            from ..hooks import precise_bn
+
+            loader = self.build_train_loader()
+            stats = precise_bn(
+                self.detector,
+                self._hook_variables(),
+                iter(loader),
+                self.cfg.TEST.PRECISE_BN.NUM_ITER,
+            )
+            self.state = self.state.replace(batch_stats=stats)
+        from ...evaluation.build import build_evaluators
+
         results = {}
         for name in dataset_names or self.cfg.DATASETS.TEST:
             ds = get_dataset(name)
             loader = build_test_loader(self.cfg, name, synthetic=self.synthetic)
-            evaluators = [COCOEvaluator(ds["thing_classes"]), F1Evaluator()]
+            evaluators = build_evaluators(self.cfg, name, ds["thing_classes"])
+            id_map = ds.get("id_map") or {}
             res = inference_on_dataset(
                 self.detector,
-                self.state.variables(),
+                self._hook_variables(),
                 loader,
                 ds["thing_classes"],
                 evaluators,
+                dump_json=os.path.join(
+                    self.output_dir, "inference", "coco_instances_results.json"
+                ),
+                category_ids={v: k for k, v in id_map.items()},
             )
             results[name] = res
             ap_line = {k: res.get(k) for k in ("AP", "AP50", "AP75", "F1")}

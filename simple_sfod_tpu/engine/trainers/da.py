@@ -188,7 +188,7 @@ class _DATrainerBase(BaseTrainer):
         # student-only eval; the DA state keys params under "det"
         from ...data.datasets import get_dataset
         from ...data.loader import build_test_loader
-        from ...evaluation import COCOEvaluator, F1Evaluator
+        from ...evaluation.build import build_evaluators
         from ..eval_loop import inference_on_dataset
 
         variables = {"params": self.state.params["det"], "batch_stats": self.state.batch_stats}
@@ -198,7 +198,7 @@ class _DATrainerBase(BaseTrainer):
             loader = build_test_loader(self.cfg, name, synthetic=self.synthetic)
             res = inference_on_dataset(
                 self.detector, variables, loader, ds["thing_classes"],
-                [COCOEvaluator(ds["thing_classes"]), F1Evaluator()],
+                build_evaluators(self.cfg, name, ds["thing_classes"]),
             )
             results[name] = res
         return results

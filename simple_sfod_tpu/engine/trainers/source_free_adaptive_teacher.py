@@ -258,7 +258,7 @@ class SourceFreeAdaptiveTeacherTrainer(BaseTrainer):
         ):
             from ...data.datasets import get_dataset
             from ...data.loader import build_test_loader
-            from ...evaluation import COCOEvaluator, F1Evaluator
+            from ...evaluation.build import build_evaluators
             from ..eval_loop import inference_on_dataset
 
             for name in dataset_names or self.cfg.DATASETS.TEST:
@@ -269,7 +269,7 @@ class SourceFreeAdaptiveTeacherTrainer(BaseTrainer):
                     variables,
                     loader,
                     ds["thing_classes"],
-                    [COCOEvaluator(ds["thing_classes"]), F1Evaluator()],
+                    build_evaluators(self.cfg, name, ds["thing_classes"]),
                 )
                 results[f"{name}/{tag}"] = res
                 print(

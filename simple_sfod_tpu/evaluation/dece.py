@@ -21,7 +21,7 @@ class DECEEvaluator:
         self.confidences = []
         self.correct = []
 
-    def process_image(self, det_boxes, det_scores, det_classes, gt_boxes, gt_classes):
+    def process_image(self, image_id, det_boxes, det_scores, det_classes, gt_boxes, gt_classes):
         det_boxes = np.asarray(det_boxes, np.float64).reshape(-1, 4)
         det_scores = np.asarray(det_scores, np.float64)
         det_classes = np.asarray(det_classes)

@@ -22,7 +22,7 @@ class F1Evaluator:
         self.fp = 0
         self.fn = 0
 
-    def process_image(self, det_boxes, det_scores, det_classes, gt_boxes, gt_classes):
+    def process_image(self, image_id, det_boxes, det_scores, det_classes, gt_boxes, gt_classes):
         det_boxes = np.asarray(det_boxes, np.float64).reshape(-1, 4)
         det_scores = np.asarray(det_scores, np.float64)
         det_classes = np.asarray(det_classes)

@@ -98,11 +98,12 @@ class Detector:
         canvas = batch.images.shape[1:3]
         anchors = anchors_for(cfg, canvas)
 
+        # train-mode BN always needs a mutable collection; update_bn decides
+        # whether the freshly-written statistics are kept or discarded
+        feature, mutated = self._features(variables, batch.images, True, mutable=True)
         if update_bn:
-            feature, mutated = self._features(variables, batch.images, True, mutable=True)
             new_stats = mutated.get("batch_stats", {})
         else:
-            feature = self._features(variables, batch.images, True, mutable=False)
             new_stats = variables.get("batch_stats", {})
 
         rpn_out = self._rpn(variables, feature)

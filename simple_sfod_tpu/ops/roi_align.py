@@ -1,16 +1,28 @@
-"""ROIAlign (V2 / "aligned") as a pure-XLA gather kernel.
+"""ROIAlign (V2 / "aligned") — two TPU-native formulations.
 
 Replaces detectron2's CUDA ROIAlign used by `ROIPooler` (reference call site
-roi_heads/source_free_adaptive_teacher_roi_heads.py:42-47,117). The bilinear
-sampling is expressed as four fused gathers + a weighted sum, all static
-shapes, so XLA lowers it to vectorised dynamic-gathers on the VPU. The
-sampling ratio is a static int (the reference's adaptive `ceil(roi/out)` is
-data-dependent and cannot be traced; 2 matches common detector settings).
+roi_heads/source_free_adaptive_teacher_roi_heads.py:42-47,117).
+
+`roi_align` (default): **separable-matmul formulation for the MXU.** The
+bilinear kernel factorises over y and x, and so does the s x s in-bin sample
+average, so pooling is exactly
+
+    out[r] = Wy_r @ F @ Wx_r^T        (per channel)
+
+with dense per-ROI weight matrices Wy [R, P, H] / Wx [R, P, W] built from
+iota comparisons on the VPU. Both contractions run on the MXU — no gathers,
+no dynamic indexing, and XLA fuses the weight construction. This is the hot
+op of the detector (512-1000 ROIs/image/step).
+
+`roi_align_gather`: the direct 4-corner-gather formulation (VPU dynamic
+gathers); kept as an independently-derived semantics reference — both are
+golden-tested against a scalar numpy oracle and against each other.
 
 Coordinate semantics follow torchvision/detectron2 `aligned=True`:
 continuous coordinates are shifted by -0.5 after scaling; samples farther
 than one pixel outside the map contribute zero; interior samples clamp to
-the border.
+the border. Sampling ratio is a static int (the reference's adaptive
+`ceil(roi/out)` is data-dependent and untraceable; 2 is the common setting).
 """
 
 from __future__ import annotations
@@ -19,7 +31,73 @@ import jax
 import jax.numpy as jnp
 
 
+def _axis_weights(
+    start: jnp.ndarray,  # [R] continuous start coordinate (aligned-shifted)
+    bin_size: jnp.ndarray,  # [R]
+    out: int,
+    s: int,
+    dim: int,
+    dtype,
+) -> jnp.ndarray:
+    """Per-ROI 1-D pooling weights [R, out, dim]: mean over the s in-bin
+    samples of the clamped bilinear hat function, zeroed for samples farther
+    than one pixel outside the feature map."""
+    k = jnp.arange(out * s, dtype=dtype)
+    grid = k // s + ((k % s) + 0.5) / s  # [out*s] position in bin units
+    p = start[:, None] + grid[None, :] * bin_size[:, None]  # [R, out*s]
+    ok = (p >= -1.0) & (p <= dim)
+    pc = jnp.clip(p, 0.0, dim - 1)
+    rows = jnp.arange(dim, dtype=dtype)
+    w = jnp.maximum(0.0, 1.0 - jnp.abs(pc[:, :, None] - rows[None, None, :]))
+    w = w * ok[:, :, None].astype(dtype)
+    r = start.shape[0]
+    return w.reshape(r, out, s, dim).mean(axis=2)
+
+
 def roi_align(
+    features: jnp.ndarray,
+    rois: jnp.ndarray,
+    spatial_scale: float,
+    output_size: int = 7,
+    sampling_ratio: int = 2,
+    aligned: bool = True,
+) -> jnp.ndarray:
+    """MXU separable-matmul ROIAlign. features [H, W, C]; rois [R, 4] XYXY in
+    input-image coordinates -> [R, out, out, C]."""
+    h, w, c = features.shape
+    out = output_size
+    dtype = features.dtype if features.dtype in (jnp.float32, jnp.bfloat16) else jnp.float32
+
+    offset = 0.5 if aligned else 0.0
+    x1 = rois[:, 0].astype(dtype) * spatial_scale - offset
+    y1 = rois[:, 1].astype(dtype) * spatial_scale - offset
+    x2 = rois[:, 2].astype(dtype) * spatial_scale - offset
+    y2 = rois[:, 3].astype(dtype) * spatial_scale - offset
+    roi_w = x2 - x1
+    roi_h = y2 - y1
+    if not aligned:
+        roi_w = jnp.maximum(roi_w, 1.0)
+        roi_h = jnp.maximum(roi_h, 1.0)
+
+    wy = _axis_weights(y1, roi_h / out, out, sampling_ratio, h, dtype)  # [R, P, H]
+    wx = _axis_weights(x1, roi_w / out, out, sampling_ratio, w, dtype)  # [R, P, W]
+
+    f = features.astype(dtype)
+    # contract the wider spatial axis first to keep the intermediate small
+    if w >= h:
+        tmp = jnp.einsum("rxw,hwc->rhxc", wx, f, preferred_element_type=jnp.float32)
+        res = jnp.einsum(
+            "ryh,rhxc->ryxc", wy, tmp.astype(dtype), preferred_element_type=jnp.float32
+        )
+    else:
+        tmp = jnp.einsum("ryh,hwc->rywc", wy, f, preferred_element_type=jnp.float32)
+        res = jnp.einsum(
+            "rxw,rywc->ryxc", wx, tmp.astype(dtype), preferred_element_type=jnp.float32
+        )
+    return res.astype(features.dtype)
+
+
+def roi_align_gather(
     features: jnp.ndarray,
     rois: jnp.ndarray,
     spatial_scale: float,

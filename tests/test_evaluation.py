@@ -110,6 +110,7 @@ class TestF1:
     def test_counts(self):
         ev = F1Evaluator(iou_thresh=0.5, score_thresh=0.5)
         ev.process_image(
+            1,
             np.array([box(0, 0, 10, 10), box(50, 50, 10, 10)]),
             np.array([0.9, 0.8]),
             np.array([0, 0]),
@@ -123,6 +124,7 @@ class TestF1:
     def test_class_mismatch_not_matched(self):
         ev = F1Evaluator()
         ev.process_image(
+            1,
             np.array([box(0, 0, 10, 10)]),
             np.array([0.9]),
             np.array([1]),
@@ -137,6 +139,7 @@ class TestDECE:
         ev = DECEEvaluator(bins=10)
         # one hit at conf .95, one miss at conf .95 -> bin acc 0.5, conf .95
         ev.process_image(
+            1,
             np.array([box(0, 0, 10, 10), box(50, 50, 10, 10)]),
             np.array([0.95, 0.95]),
             np.array([0, 0]),

@@ -10,7 +10,7 @@ from simple_sfod_tpu.ops.anchors import generate_anchors, generate_cell_anchors
 from simple_sfod_tpu.ops.matcher import match_boxes, MatcherConfig, RPN_MATCHER
 from simple_sfod_tpu.ops.sampler import subsample_labels, subsample_labels_mask
 from simple_sfod_tpu.ops.nms import nms_mask, batched_class_nms
-from simple_sfod_tpu.ops.roi_align import roi_align
+from simple_sfod_tpu.ops.roi_align import roi_align, roi_align_gather
 
 import golden
 
@@ -150,7 +150,8 @@ class TestNMS:
 
 class TestROIAlign:
     @pytest.mark.parametrize("aligned", [True, False])
-    def test_matches_golden(self, aligned):
+    @pytest.mark.parametrize("impl", [roi_align, roi_align_gather])
+    def test_matches_golden(self, aligned, impl):
         rng = np.random.RandomState(7)
         feat = rng.randn(12, 16, 5).astype(np.float32)
         rois = np.asarray(
@@ -163,7 +164,7 @@ class TestROIAlign:
             np.float32,
         )
         got = np.asarray(
-            roi_align(jnp.asarray(feat), jnp.asarray(rois), 1.0 / 8, 7, 2, aligned)
+            impl(jnp.asarray(feat), jnp.asarray(rois), 1.0 / 8, 7, 2, aligned)
         )
         want = golden.roi_align_ref(feat, rois, 1.0 / 8, 7, 2, aligned)
         np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)

@@ -1,0 +1,153 @@
+"""Trainer-level tests on tiny shapes (virtual CPU devices).
+
+Covers the reference's workload semantics: one SFAT adaptation step (pseudo
+labels + student update + EMA), the WQ/mosaic strong-aug step, AdaBN stat
+reset/recompute, and the LR schedule."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from simple_sfod_tpu.config import get_cfg
+from simple_sfod_tpu.data.synthetic import register_synthetic
+from simple_sfod_tpu.engine.trainers import build_trainer
+from simple_sfod_tpu.solver.build import warmup_multistep_schedule
+
+
+def tiny_cfg(trainer="base", **overrides):
+    cfg = get_cfg()
+    cfg.TRAINER = trainer
+    cfg.MODEL.BACKBONE.NAME = "build_vgg_backbone"
+    cfg.MODEL.RPN.IN_FEATURES = ("vgg4",)
+    cfg.MODEL.ROI_HEADS.IN_FEATURES = ("vgg4",)
+    cfg.MODEL.ROI_HEADS.NUM_CLASSES = 4
+    cfg.MODEL.RPN.PRE_NMS_TOPK_TRAIN = 128
+    cfg.MODEL.RPN.POST_NMS_TOPK_TRAIN = 64
+    cfg.MODEL.RPN.PRE_NMS_TOPK_TEST = 128
+    cfg.MODEL.RPN.POST_NMS_TOPK_TEST = 64
+    cfg.MODEL.ROI_HEADS.BATCH_SIZE_PER_IMAGE = 32
+    cfg.MODEL.ROI_BOX_HEAD.FC_DIM = 64
+    cfg.SOLVER.IMS_PER_BATCH = 2
+    cfg.SOLVER.IMS_PER_BATCH_TARGET = 2
+    cfg.SOLVER.MAX_ITER = 2
+    cfg.SOLVER.CHECKPOINT_PERIOD = 0
+    cfg.TEST.EVAL_PERIOD = 0
+    cfg.TEST.VAL_LOSS = False
+    cfg.TPU.CANVAS = (64, 128)
+    cfg.TPU.GT_CAPACITY = 8
+    cfg.INPUT.MIN_SIZE_TRAIN = (64,)
+    cfg.INPUT.MIN_SIZE_TEST = 64
+    cfg.SEED = 0
+    cfg.OUTPUT_DIR = "/tmp/sfod_test_trainers"
+    for k, v in overrides.items():
+        node = cfg
+        parts = k.split(".")
+        for p in parts[:-1]:
+            node = node[p]
+        node[parts[-1]] = v
+    register_synthetic("synthetic_train", 4, (64, 128), 4, seed=0)
+    register_synthetic("synthetic_target", 4, (64, 128), 4, seed=1)
+    register_synthetic("synthetic_test", 2, (64, 128), 4, seed=2)
+    cfg.DATASETS.TRAIN = ("synthetic_train",)
+    cfg.DATASETS.TRAIN_TARGET = ("synthetic_target",)
+    cfg.DATASETS.TEST = ("synthetic_test",)
+    return cfg
+
+
+def one_batch(cfg, loader):
+    return next(iter(loader))
+
+
+class TestSFATStep:
+    def test_step_updates_student_keeps_fixed_teacher(self):
+        tr = build_trainer(tiny_cfg("source_free_adaptive_teacher"), synthetic=True)
+        batch = one_batch(tr.cfg, tr.build_train_loader())
+        t_before = jax.device_get(tr.state.teacher_params)
+        s_before = jax.device_get(tr.state.params["det"])
+        metrics = tr.run_step(batch)
+        assert np.isfinite(float(metrics["total_loss"]))
+        # student moved
+        moved = jax.tree.map(
+            lambda a, b: float(jnp.abs(a - b).max()), s_before, jax.device_get(tr.state.params["det"])
+        )
+        assert max(jax.tree.leaves(moved)) > 0
+        # main variant: teacher fixed (EMA commented out in reference :581)
+        same = jax.tree.map(
+            lambda a, b: float(jnp.abs(a - b).max()), t_before, jax.device_get(tr.state.teacher_params)
+        )
+        assert max(jax.tree.leaves(same)) == 0
+        # threshold bookkeeping advanced
+        assert int(tr.state.thresh.cursor) == 1
+
+    def test_single_variant_ema_moves_teacher(self):
+        cfg = tiny_cfg("source_free_adaptive_teacher_single")
+        cfg.SEMISUPNET.EMA_KEEP_RATE = 0.5
+        tr = build_trainer(cfg, synthetic=True)
+        batch = one_batch(tr.cfg, tr.build_train_loader())
+        t_before = jax.device_get(tr.state.teacher_params)
+        tr.run_step(batch)
+        diff = jax.tree.map(
+            lambda a, b: float(jnp.abs(a - b).max()), t_before, jax.device_get(tr.state.teacher_params)
+        )
+        assert max(jax.tree.leaves(diff)) > 0
+
+    def test_pinned_classes_acc_is_one(self):
+        tr = build_trainer(tiny_cfg("source_free_adaptive_teacher"), synthetic=True)
+        batch = one_batch(tr.cfg, tr.build_train_loader())
+        tr.run_step(batch)
+        acc = np.asarray(tr.state.thresh.classwise_acc)
+        assert acc[0] == 1.0 and acc[2] == 1.0  # reference pins person & car
+
+
+class TestWQStep:
+    @pytest.mark.parametrize("trainer", ["base_wq", "base_mosaic", "base_mixup"])
+    def test_step_runs(self, trainer):
+        tr = build_trainer(tiny_cfg(trainer), synthetic=True)
+        batch = one_batch(tr.cfg, tr.build_train_loader())
+        metrics = tr.run_step(batch)
+        assert np.isfinite(float(metrics["total_loss"]))
+
+
+class TestAdaBN:
+    def test_reset_and_recompute(self):
+        tr = build_trainer(tiny_cfg("base"), synthetic=True)
+        # run one step so stats deviate from init
+        batch = one_batch(tr.cfg, tr.build_train_loader())
+        tr.run_step(batch)
+        tr.reset_bn_stats()
+        means = [
+            np.asarray(v)
+            for k, v in jax.tree_util.tree_leaves_with_path(tr.state.batch_stats)
+            if any(getattr(p, "key", "") == "mean" for p in k)
+        ]
+        assert all(np.allclose(m, 0) for m in means)
+        new_stats = jax.jit(tr.detector.bn_update)(
+            tr.state.variables(), jnp.asarray(batch["images"])
+        )
+        tr.state = tr.state.replace(batch_stats=new_stats)
+        means2 = [
+            np.asarray(v)
+            for k, v in jax.tree_util.tree_leaves_with_path(tr.state.batch_stats)
+            if any(getattr(p, "key", "") == "mean" for p in k)
+        ]
+        assert any(np.abs(m).max() > 0 for m in means2)
+
+
+class TestSchedule:
+    def test_warmup_and_steps(self):
+        sched = warmup_multistep_schedule(
+            1.0, steps=[10, 20], gamma=0.1, factor_list=None, warmup_iters=4, warmup_factor=0.25
+        )
+        assert float(sched(0)) == pytest.approx(0.25)
+        assert float(sched(4)) == pytest.approx(1.0)
+        assert float(sched(15)) == pytest.approx(0.1)
+        assert float(sched(25)) == pytest.approx(0.01)
+
+    def test_factor_list(self):
+        sched = warmup_multistep_schedule(
+            2.0, steps=[5, 10], factor_list=[1, 0.5, 0.25], warmup_iters=0
+        )
+        assert float(sched(1)) == pytest.approx(2.0)
+        assert float(sched(7)) == pytest.approx(1.0)
+        assert float(sched(12)) == pytest.approx(0.5)
