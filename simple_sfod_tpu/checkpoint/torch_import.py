@@ -61,6 +61,64 @@ def _import_fc0(w: np.ndarray, pool: int, channels: int) -> np.ndarray:
     return _fc(w)
 
 
+def _import_norm(sd, key, params_dst, stats_dst, flax_name, frozen):
+    """d2 norm block `<key>.norm.*` -> our _Norm submodule `flax_name`."""
+    if frozen:
+        params_dst[flax_name] = {
+            "scale": sd[f"{key}.norm.weight"],
+            "bias": sd[f"{key}.norm.bias"],
+        }
+        stats_dst[flax_name] = {
+            "mean": sd[f"{key}.norm.running_mean"],
+            "var": sd[f"{key}.norm.running_var"],
+        }
+    else:
+        params_dst[flax_name] = {
+            "BatchNorm_0": {
+                "scale": sd[f"{key}.norm.weight"],
+                "bias": sd[f"{key}.norm.bias"],
+            }
+        }
+        stats_dst[flax_name] = {
+            "BatchNorm_0": {
+                "mean": sd[f"{key}.norm.running_mean"],
+                "var": sd[f"{key}.norm.running_var"],
+            }
+        }
+
+
+_RESNET_BLOCKS = {50: (3, 4, 6, 3), 101: (3, 4, 23, 3)}
+
+
+def _import_resnet(sd, detector_cfg, params, stats, strict):
+    """detectron2 ResNet keys (backbone.stem.*, backbone.res{2..5}.{b}.*) ->
+    our ResNetBackbone tree (stem_conv/stem_norm, res{s}_block{b}/...)."""
+    frozen = detector_cfg.resnet_norm == "FrozenBN"
+    depth = 50 if detector_cfg.backbone == "resnet50" else 101
+    params["stem_conv"] = {"kernel": _conv(sd["backbone.stem.conv1.weight"])}
+    _import_norm(sd, "backbone.stem.conv1", params, stats, "stem_norm", frozen)
+    deepest = int(detector_cfg.in_feature[3])
+    for stage, n_blocks in enumerate(_RESNET_BLOCKS[depth], start=2):
+        if stage > deepest:
+            break
+        for b in range(n_blocks):
+            src = f"backbone.res{stage}.{b}"
+            dst_name = f"res{stage}_block{b}"
+            if f"{src}.conv1.weight" not in sd:
+                if strict:
+                    raise KeyError(f"missing {src}.conv1.weight")
+                continue
+            block_p, block_s = {}, {}
+            for i in (1, 2, 3):
+                block_p[f"conv{i}"] = {"kernel": _conv(sd[f"{src}.conv{i}.weight"])}
+                _import_norm(sd, f"{src}.conv{i}", block_p, block_s, f"norm{i}", frozen)
+            if f"{src}.shortcut.weight" in sd:
+                block_p["shortcut"] = {"kernel": _conv(sd[f"{src}.shortcut.weight"])}
+                _import_norm(sd, f"{src}.shortcut", block_p, block_s, "shortcut_norm", frozen)
+            params[dst_name] = block_p
+            stats[dst_name] = block_s
+
+
 # torchvision vgg16_bn `features.*` conv indices in definition order
 _TV_VGG16_BN_CONVS = [0, 3, 7, 10, 14, 17, 20, 24, 27, 30, 34, 37, 40]
 _TV_VGG16_CONVS = [0, 2, 5, 7, 10, 12, 14, 17, 19, 21, 24, 26, 28]
@@ -142,11 +200,10 @@ def import_torch_checkpoint(
                         "var": sd[f"{bkey}.running_var"],
                     }
                 conv_i += 1
+    elif detector_cfg.backbone in ("resnet50", "resnet101"):
+        _import_resnet(sd, detector_cfg, params["backbone"], stats["backbone"], strict)
     else:
-        raise NotImplementedError(
-            "resnet torch import lands with the C4 parity work; use orbax "
-            "checkpoints for resnet flows"
-        )
+        raise NotImplementedError(f"unknown backbone {detector_cfg.backbone}")
 
     # RPN head (d2: proposal_generator.rpn_head.{conv,objectness_logits,anchor_deltas})
     m = {

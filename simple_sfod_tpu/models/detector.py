@@ -89,12 +89,13 @@ class Detector:
         rng: jax.Array,
         update_bn: bool = True,
         loss_weights: Optional[Dict[str, float]] = None,
+        with_bpc: bool = False,
     ):
         """Full supervised Faster R-CNN loss (the reference's "supervised" /
         "supervised_target" branches). Returns (total_loss, metrics, new_batch_stats).
         """
         cfg = self.cfg
-        rng_rpn, rng_roi = jax.random.split(rng)
+        rng_rpn, rng_roi, rng_drop = jax.random.split(rng, 3)
         canvas = batch.images.shape[1:3]
         anchors = anchors_for(cfg, canvas)
 
@@ -113,7 +114,12 @@ class Detector:
         proposals = proposals.replace(boxes=jax.lax.stop_gradient(proposals.boxes))
         sampled = label_and_sample_proposals(cfg, proposals, batch.gt, rng_roi)
         pooled = pool_rois(cfg, feature, sampled.boxes)
-        scores, deltas = self._box(variables, pooled, train=True)
+        scores, deltas = self._box(
+            variables,
+            pooled,
+            train=True,
+            rngs={"dropout": rng_drop} if cfg.box_head_dropout > 0 else None,
+        )
         losses.update(roi_losses(cfg, scores, deltas, sampled))
 
         weights = loss_weights or {}
@@ -121,6 +127,34 @@ class Detector:
         metrics = dict(losses)
         metrics["num_fg"] = jnp.sum(sampled.is_fg.astype(jnp.int32))
         metrics["num_sampled"] = jnp.sum(sampled.valid.astype(jnp.int32))
+        if with_bpc:
+            # BPC calibration loss over the raw (no-NMS, no-thresh) student
+            # predictions from the SAME forward (the reference's
+            # convert_bbox_scores path feeding bpc_loss, meta_arch :293).
+            # Logged only — the trainer weights it x0 like the reference.
+            from ..losses.bpc import bpc_loss
+            from ..structures.boxes import decode_deltas
+            from .faster_rcnn import ROI_BOX_TRANSFORM
+
+            b, s = sampled.gt_classes.shape
+            probs = jax.nn.softmax(scores, axis=-1)[:, :-1]  # [B*S, C]
+            pred_cls = jnp.argmax(probs, axis=-1).astype(jnp.int32)
+            pred_score = jnp.max(probs, axis=-1)
+            k = deltas.shape[-1] // 4
+            deltas_k = deltas.reshape(-1, k, 4)
+            cls_deltas = jnp.take_along_axis(
+                deltas_k, jnp.clip(pred_cls, 0, k - 1)[:, None, None].repeat(4, -1), axis=1
+            )[:, 0]
+            pred_boxes = ROI_BOX_TRANSFORM.apply_deltas(
+                cls_deltas, sampled.boxes.reshape(-1, 4)
+            )
+            preds = Instances(
+                boxes=jax.lax.stop_gradient(pred_boxes).reshape(b, s, 4),
+                scores=pred_score.reshape(b, s),
+                classes=pred_cls.reshape(b, s),
+                valid=sampled.valid,
+            )
+            metrics["loss_bpc"] = bpc_loss(preds, batch.gt)
         return total, metrics, new_stats
 
     # -- inference ---------------------------------------------------------

@@ -1,0 +1,73 @@
+"""Detector secondary paths: raw (no-NMS) inference, MC-dropout, BPC-in-step."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from simple_sfod_tpu.models.detector import DetectionBatch, Detector
+from simple_sfod_tpu.models.faster_rcnn import DetectorConfig
+from simple_sfod_tpu.models.uncertainty import mc_dropout_box_outputs
+from simple_sfod_tpu.structures.instances import pad_instances
+
+
+@pytest.fixture(scope="module")
+def small_det():
+    cfg = DetectorConfig(
+        num_classes=3,
+        rpn_pre_nms_topk_train=128,
+        rpn_post_nms_topk_train=64,
+        rpn_pre_nms_topk_test=128,
+        rpn_post_nms_topk_test=64,
+        roi_batch_size_per_image=32,
+        fc_dim=64,
+        box_head_dropout=0.5,
+    )
+    det = Detector(cfg)
+    v = det.init(jax.random.key(0), (64, 128))
+    return det, v
+
+
+def batch_of_ones():
+    images = jnp.asarray(np.random.RandomState(0).uniform(0, 255, (1, 64, 128, 3)), jnp.float32)
+    sizes = jnp.asarray([[64, 128]], jnp.int32)
+    return images, sizes
+
+
+class TestInferRaw:
+    def test_no_nms_keeps_overlaps(self, small_det):
+        det, v = small_det
+        images, sizes = batch_of_ones()
+        raw = jax.jit(lambda v, i, s: det.infer_raw(v, i, s, topk=64))(v, images, sizes)
+        std = jax.jit(lambda v, i, s: det.infer(v, i, s, topk=64))(v, images, sizes)
+        # raw path keeps everything valid (no score filter)
+        assert int(raw.num_valid()[0]) == 64
+        assert int(std.num_valid()[0]) <= int(raw.num_valid()[0])
+
+
+class TestMCDropout:
+    def test_samples_differ_and_average(self, small_det):
+        det, v = small_det
+        images, sizes = batch_of_ones()
+        mean, std, boxes = jax.jit(
+            lambda v, i, s: mc_dropout_box_outputs(det, v, i, s, jax.random.key(1), 4)
+        )(v, images, sizes)
+        assert mean.shape[-1] == 4  # C+1
+        assert bool(jnp.all(std >= 0))
+        assert float(std.max()) > 0  # dropout produced variance
+        np.testing.assert_allclose(np.asarray(mean.sum(-1)), 1.0, atol=1e-4)
+
+
+class TestBPCInStep:
+    def test_bpc_metric_emitted(self, small_det):
+        det, v = small_det
+        images, sizes = batch_of_ones()
+        gt = pad_instances(
+            np.asarray([[4, 4, 40, 40]], np.float32), np.asarray([1]), 8
+        )
+        gt = jax.tree.map(lambda x: x[None], gt)
+        _, metrics, _ = jax.jit(
+            lambda v, b, r: det.supervised_losses(v, b, r, with_bpc=True)
+        )(v, DetectionBatch(images, sizes, gt), jax.random.key(2))
+        assert "loss_bpc" in metrics
+        assert np.isfinite(float(metrics["loss_bpc"]))
