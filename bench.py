@@ -51,6 +51,9 @@ def _watchdog(seconds: int = 2400):
 
 def main():
     _watchdog()
+    from simple_sfod_tpu.utils.env import setup_cache
+
+    setup_cache()
     import numpy as np
 
     from simple_sfod_tpu.config import get_cfg
@@ -79,7 +82,7 @@ def main():
     batch_size = cfg.SOLVER.IMS_PER_BATCH_TARGET
     rs = np.random.RandomState(0)
     batch = {
-        "images": rs.uniform(0, 255, (batch_size, *cfg.TPU.CANVAS, 3)).astype(np.float32),
+        "images": rs.uniform(0, 255, (batch_size, *cfg.TPU.CANVAS, 3)).astype(np.uint8),
         "sizes": np.tile(np.asarray([[600, 1200]], np.int32), (batch_size, 1)),
     }
 
@@ -89,6 +92,12 @@ def main():
     import jax
 
     jax.block_until_ready(metrics["total_loss"])
+
+    # per-step breakdown (one synced step, then the pipelined loop)
+    t0 = time.perf_counter()
+    metrics = trainer.run_step(batch)
+    jax.block_until_ready(metrics["total_loss"])
+    print(f"# synced single step: {(time.perf_counter() - t0) * 1000:.1f} ms", file=sys.stderr)
 
     iters = 20
     t0 = time.perf_counter()

@@ -108,7 +108,8 @@ class DetectionLoader:
         b = len(recs)
         ch, cw = self.canvas_hw
         n = self.gt_capacity
-        images = np.zeros((b, ch, cw, 3), np.float32)
+        # uint8 canvas: 4x less host->device traffic; trainers cast on device
+        images = np.zeros((b, ch, cw, 3), np.uint8)
         sizes = np.zeros((b, 2), np.int32)
         scales = np.zeros((b,), np.float32)
         gt_boxes = np.zeros((b, n, 4), np.float32)
@@ -123,7 +124,7 @@ class DetectionLoader:
             img, scale = _resize_shortest_edge(img, self.min_size, self.max_size)
             h, w = img.shape[:2]
             h, w = min(h, ch), min(w, cw)
-            images[i, :h, :w] = img[:h, :w]
+            images[i, :h, :w] = np.clip(img[:h, :w], 0, 255).astype(np.uint8)
             sizes[i] = (h, w)
             scales[i] = scale
             image_ids[i] = rec["image_id"]

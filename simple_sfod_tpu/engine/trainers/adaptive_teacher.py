@@ -83,6 +83,8 @@ class AdaptiveTeacherTrainer(SourceFreeAdaptiveTeacherTrainer):
             tgt_sizes,
             rng,
         ):
+            src_images = src_images.astype(jnp.float32)
+            tgt_images = tgt_images.astype(jnp.float32)
             rng = jax.random.fold_in(rng, state.step)
             k_flip_s, k_flip_t, k_strong, k_sup, k_unsup = jax.random.split(rng, 5)
             in_burn_up = state.step < burn_up

@@ -125,6 +125,7 @@ class BaseTrainer:
         optimizer = self.optimizer
 
         def step_fn(state: TrainState, images, sizes, gt: Instances, rng):
+            images = images.astype(jnp.float32)  # uint8 arrives over PCIe/tunnel
             rng = jax.random.fold_in(rng, state.step)
             rng_aug, rng_loss = jax.random.split(rng)
             images, gt_aug = apply_weak_aug(rng_aug, images, sizes, gt)

@@ -129,6 +129,8 @@ class _DATrainerBase(BaseTrainer):
             return loss_img, loss_ins, loss_cst
 
         def step_fn(state, src_images, src_sizes, src_gt: Instances, tgt_images, tgt_sizes, rng):
+            src_images = src_images.astype(jnp.float32)
+            tgt_images = tgt_images.astype(jnp.float32)
             rng = jax.random.fold_in(rng, state.step)
             k_flip, k_sup, k_dc_s, k_dc_t = jax.random.split(rng, 4)
             src_images, src_gt = apply_weak_aug(k_flip, src_images, src_sizes, src_gt)

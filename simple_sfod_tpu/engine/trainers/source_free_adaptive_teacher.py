@@ -148,6 +148,7 @@ class SourceFreeAdaptiveTeacherTrainer(BaseTrainer):
         style = self._build_style_transfer() if cfg.STYLE.ENABLED else None
 
         def step_fn(state: TeacherStudentState, images, sizes, rng):
+            images = images.astype(jnp.float32)
             rng = jax.random.fold_in(rng, state.step)
             rng_flip, rng_strong, rng_loss, rng_dc = jax.random.split(rng, 4)
 

@@ -33,6 +33,7 @@ class WQTrainer(BaseTrainer):
         aug = self.aug
 
         def step_fn(state: TrainState, images, sizes, gt: Instances, rng):
+            images = images.astype(jnp.float32)
             rng = jax.random.fold_in(rng, state.step)
             rng_flip, rng_mix, rng_strong, rng_loss = jax.random.split(rng, 4)
             images, gt = apply_weak_aug(rng_flip, images, sizes, gt)

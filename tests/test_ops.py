@@ -9,7 +9,7 @@ from simple_sfod_tpu.structures import boxes as B
 from simple_sfod_tpu.ops.anchors import generate_anchors, generate_cell_anchors
 from simple_sfod_tpu.ops.matcher import match_boxes, MatcherConfig, RPN_MATCHER
 from simple_sfod_tpu.ops.sampler import subsample_labels, subsample_labels_mask
-from simple_sfod_tpu.ops.nms import nms_mask, batched_class_nms
+from simple_sfod_tpu.ops.nms import nms_mask, nms_mask_scan, batched_class_nms
 from simple_sfod_tpu.ops.roi_align import roi_align, roi_align_gather
 
 import golden
@@ -133,6 +133,29 @@ class TestNMS:
         want = set(golden.greedy_nms(bx, sc, thr).tolist())
         got = set(np.nonzero(keep)[0].tolist())
         assert got == want
+
+    @pytest.mark.parametrize("n,thr", [(50, 0.5), (300, 0.7), (1000, 0.3)])
+    def test_scan_matches_greedy(self, n, thr):
+        rng = np.random.RandomState(n + 7)
+        bx = random_boxes(rng, n, size=60.0)
+        sc = rng.uniform(0.01, 1.0, n).astype(np.float32)
+        keep = np.asarray(
+            nms_mask_scan(jnp.asarray(bx), jnp.asarray(sc), jnp.ones(n, bool), thr)
+        )
+        want = set(golden.greedy_nms(bx, sc, thr).tolist())
+        got = set(np.nonzero(keep)[0].tolist())
+        assert got == want
+
+    def test_scan_max_keep_prefix(self):
+        rng = np.random.RandomState(3)
+        bx = random_boxes(rng, 200, size=60.0)
+        sc = rng.uniform(0.01, 1.0, 200).astype(np.float32)
+        full = golden.greedy_nms(bx, sc, 0.5)
+        keep = np.asarray(
+            nms_mask_scan(jnp.asarray(bx), jnp.asarray(sc), jnp.ones(200, bool), 0.5, max_keep=5)
+        )
+        got = set(np.nonzero(keep)[0].tolist())
+        assert got == set(full[:5].tolist())  # first 5 greedy picks exactly
 
     def test_respects_valid_mask(self):
         bx = jnp.asarray([[0, 0, 10, 10], [0, 0, 10, 10]], jnp.float32)

@@ -49,6 +49,9 @@ def setup(args):
 
 
 def main(args, eval_mode: str = "test"):
+    from simple_sfod_tpu.utils.env import setup_cache
+
+    setup_cache()
     from simple_sfod_tpu.data.datasets import register_all_datasets
     from simple_sfod_tpu.engine.trainers import build_trainer
     from simple_sfod_tpu.parallel.mesh import initialize_distributed
