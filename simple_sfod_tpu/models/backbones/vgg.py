@@ -29,6 +29,20 @@ STAGE_PLAN: Sequence[Sequence[int]] = (
 )
 
 
+def max_pool_2x2(x: jnp.ndarray) -> jnp.ndarray:
+    """2x2/2 max pool as a reshape + max.
+
+    Identical to nn.max_pool for even spatial dims, but its gradient lowers
+    to a cheap one-hot select instead of XLA's SelectAndScatter — which is a
+    large share of the conv-net backward cost on TPU. Falls back to the
+    window reduction for odd dims (never hit with the standard canvases)."""
+    b, h, w, c = x.shape
+    if h % 2 or w % 2:
+        return nn.max_pool(x, (2, 2), strides=(2, 2))
+    x = x.reshape(b, h // 2, 2, w // 2, 2, c)
+    return jnp.max(x, axis=(2, 4))
+
+
 class VGG16Backbone(nn.Module):
     bn: bool = True
     dtype: Any = jnp.float32
@@ -65,7 +79,7 @@ class VGG16Backbone(nn.Module):
                     )(x)
                 x = nn.relu(x)
                 conv_i += 1
-            x = nn.max_pool(x, (2, 2), strides=(2, 2))
+            x = max_pool_2x2(x)
             feats[f"vgg{stage_idx}"] = x
         return feats
 

@@ -31,7 +31,7 @@ from flax import linen as nn
 
 from ..ops.anchors import generate_anchors
 from ..ops.matcher import MatcherConfig, match_boxes
-from ..ops.nms import batched_class_nms, nms_mask_scan
+from ..ops.nms import batched_class_nms, nms_mask_matrix
 from ..ops.roi_align import roi_align
 from ..ops.losses import sigmoid_ce, smooth_l1, softmax_ce
 from ..ops.sampler import subsample_labels, subsample_labels_mask
@@ -220,8 +220,7 @@ def propose(
         boxes = RPN_BOX_TRANSFORM.apply_deltas(sel_deltas, sel_anchors)
         boxes = clip_boxes(boxes, size)
         valid = nonempty(boxes) & jnp.isfinite(vals)
-        # scan NMS capped at post_k picks: exact for the top-post_k kept set
-        keep = nms_mask_scan(boxes, vals, valid, cfg.rpn_nms_thresh, max_keep=post_k)
+        keep = nms_mask_matrix(boxes, vals, valid, cfg.rpn_nms_thresh)
         inst = Instances(
             boxes=boxes,
             scores=vals,

@@ -9,7 +9,12 @@ from simple_sfod_tpu.structures import boxes as B
 from simple_sfod_tpu.ops.anchors import generate_anchors, generate_cell_anchors
 from simple_sfod_tpu.ops.matcher import match_boxes, MatcherConfig, RPN_MATCHER
 from simple_sfod_tpu.ops.sampler import subsample_labels, subsample_labels_mask
-from simple_sfod_tpu.ops.nms import nms_mask, nms_mask_scan, batched_class_nms
+from simple_sfod_tpu.ops.nms import (
+    nms_mask,
+    nms_mask_matrix,
+    nms_mask_scan,
+    batched_class_nms,
+)
 from simple_sfod_tpu.ops.roi_align import roi_align, roi_align_gather
 
 import golden
@@ -129,6 +134,18 @@ class TestNMS:
         sc = rng.uniform(0.01, 1.0, n).astype(np.float32)
         keep = np.asarray(
             nms_mask(jnp.asarray(bx), jnp.asarray(sc), jnp.ones(n, bool), thr, tile=64)
+        )
+        want = set(golden.greedy_nms(bx, sc, thr).tolist())
+        got = set(np.nonzero(keep)[0].tolist())
+        assert got == want
+
+    @pytest.mark.parametrize("n,thr", [(50, 0.5), (300, 0.7), (1000, 0.3)])
+    def test_matrix_matches_greedy(self, n, thr):
+        rng = np.random.RandomState(n + 13)
+        bx = random_boxes(rng, n, size=60.0)
+        sc = rng.uniform(0.01, 1.0, n).astype(np.float32)
+        keep = np.asarray(
+            nms_mask_matrix(jnp.asarray(bx), jnp.asarray(sc), jnp.ones(n, bool), thr)
         )
         want = set(golden.greedy_nms(bx, sc, thr).tolist())
         got = set(np.nonzero(keep)[0].tolist())
