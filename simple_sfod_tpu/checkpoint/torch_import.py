@@ -119,6 +119,48 @@ def _import_resnet(sd, detector_cfg, params, stats, strict):
             stats[dst_name] = block_s
 
 
+# pytorch-AdaIN module layouts (reference style_transfer/net.py: the
+# torch Sequential indices of the conv layers inside vgg_normalised /
+# decoder checkpoints, reflection pads + relus interleaved)
+_ADAIN_VGG_CONVS = [0, 2, 5, 9, 12, 16, 19, 22, 25, 29]  # through relu4_1
+_ADAIN_VGG_NAMES = [
+    "pre",
+    "conv0_0", "conv0_1",
+    "conv1_0", "conv1_1",
+    "conv2_0", "conv2_1", "conv2_2", "conv2_3",
+    "conv3_0",
+]
+_ADAIN_DEC_CONVS = [1, 5, 8, 11, 14, 18, 21, 25, 28]
+_ADAIN_DEC_NAMES = [
+    "conv0_0",
+    "conv1_0", "conv1_1", "conv1_2",
+    "conv2_0", "conv3_0", "conv4_0", "conv5_0",
+    "out",
+]
+
+
+def import_adain_encoder(sd: Dict[str, np.ndarray]) -> Dict:
+    """vgg_normalised.pth (sequential '<idx>.weight') -> StyleEncoder params."""
+    params = {}
+    for idx, name in zip(_ADAIN_VGG_CONVS, _ADAIN_VGG_NAMES):
+        params[name] = {
+            "kernel": _conv(sd[f"{idx}.weight"]),
+            "bias": sd[f"{idx}.bias"],
+        }
+    return params
+
+
+def import_adain_decoder(sd: Dict[str, np.ndarray]) -> Dict:
+    """decoder_iter_*.pth(.tar) -> StyleDecoder params."""
+    params = {}
+    for idx, name in zip(_ADAIN_DEC_CONVS, _ADAIN_DEC_NAMES):
+        params[name] = {
+            "kernel": _conv(sd[f"{idx}.weight"]),
+            "bias": sd[f"{idx}.bias"],
+        }
+    return params
+
+
 # torchvision vgg16_bn `features.*` conv indices in definition order
 _TV_VGG16_BN_CONVS = [0, 3, 7, 10, 14, 17, 20, 24, 27, 30, 34, 37, 40]
 _TV_VGG16_CONVS = [0, 2, 5, 7, 10, 12, 14, 17, 19, 21, 24, 26, 28]

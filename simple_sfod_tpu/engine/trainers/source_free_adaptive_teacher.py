@@ -117,10 +117,22 @@ class SourceFreeAdaptiveTeacherTrainer(BaseTrainer):
             print("[style] STYLE.STYLE_IMAGE missing; using a flat gray style")
             style_img = jnp.full((64, 64, 3), 0.6, jnp.float32)
         st = StyleTransfer.init(self.base_rng, style_img)
-        # TODO(weights): torch AdaIN checkpoints (vgg_normalised.pth /
-        # decoder_iter_*.pth.tar) import lands with the resnet importer.
-        if cfg.STYLE.VGG_MODEL:
-            print("[style] pretrained AdaIN weights not imported yet; random init")
+        # pretrained AdaIN encoder/decoder (reference STYLE.VGG_MODEL /
+        # STYLE.DECODER point at pytorch-AdaIN checkpoints)
+        from ...checkpoint.torch_import import (
+            import_adain_decoder,
+            import_adain_encoder,
+            load_torch_file,
+        )
+
+        if cfg.STYLE.VGG_MODEL and os.path.exists(str(cfg.STYLE.VGG_MODEL)):
+            st.encoder_vars = {"params": import_adain_encoder(load_torch_file(cfg.STYLE.VGG_MODEL))}
+        elif cfg.STYLE.VGG_MODEL:
+            print(f"[style] VGG_MODEL {cfg.STYLE.VGG_MODEL} missing; random encoder")
+        if cfg.STYLE.DECODER and os.path.exists(str(cfg.STYLE.DECODER)):
+            st.decoder_vars = {"params": import_adain_decoder(load_torch_file(cfg.STYLE.DECODER))}
+        elif cfg.STYLE.DECODER:
+            print(f"[style] DECODER {cfg.STYLE.DECODER} missing; random decoder")
         return st
 
     # -- jitted adaptation step -----------------------------------------------
