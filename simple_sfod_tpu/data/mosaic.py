@@ -20,7 +20,7 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 
-from ..structures.boxes import clip_boxes, nonempty
+from ..structures.boxes import nonempty
 from ..structures.instances import Instances
 
 

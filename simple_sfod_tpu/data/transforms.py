@@ -14,7 +14,6 @@ float [H, W, 3] in 0..255, channel order irrelevant except hue.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Tuple
 
 import jax

@@ -21,14 +21,14 @@ import optax
 
 from ...data import transforms as T
 from ...data.loader import build_train_loader, gt_instances
-from ...models.dann import FCDiscriminatorImg, gradient_scalar
+from ...models.dann import gradient_scalar
 from ...models.detector import DetectionBatch
 from ...ops.losses import sigmoid_ce
 from ...parallel.mesh import shard_batch
 from ...structures.instances import Instances
-from ..train_state import AdaptiveThresholdState, TeacherStudentState, ema_update
+from ..train_state import TeacherStudentState, ema_update
 from . import register_trainer
-from .base import BaseTrainer, apply_weak_aug
+from .base import apply_weak_aug
 from .source_free_adaptive_teacher import SourceFreeAdaptiveTeacherTrainer
 
 

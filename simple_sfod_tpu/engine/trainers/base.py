@@ -14,8 +14,7 @@ from __future__ import annotations
 
 import os
 import time
-from functools import partial
-from typing import Dict, Optional
+from typing import Dict
 
 import jax
 import jax.numpy as jnp
@@ -27,7 +26,6 @@ from ...config.defaults import detector_config_from_cfg
 from ...data.loader import build_test_loader, build_train_loader, gt_instances
 from ...data.datasets import get_dataset
 from ...data import transforms as T
-from ...evaluation import COCOEvaluator, F1Evaluator
 from ...models.detector import DetectionBatch, Detector
 from ...parallel.mesh import make_mesh, shard_batch, replicate
 from ...solver.build import build_optimizer, warmup_multistep_schedule

@@ -21,7 +21,7 @@ import optax
 from ...data.loader import build_train_loader, gt_instances
 from ...models.dann import DAImgHead, DAInsHead, gradient_scalar
 from ...models.detector import DetectionBatch
-from ...models.faster_rcnn import anchors_for, propose, pool_rois, RPNOutput
+from ...models.faster_rcnn import anchors_for, propose, pool_rois
 from ...ops.losses import sigmoid_ce
 from ...parallel.mesh import shard_batch
 from ...structures.instances import Instances

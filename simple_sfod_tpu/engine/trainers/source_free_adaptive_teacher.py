@@ -22,8 +22,7 @@ Variants (reference file-level forks become flags):
 
 from __future__ import annotations
 
-import time
-from typing import Dict, Tuple
+from typing import Dict
 
 import jax
 import jax.numpy as jnp

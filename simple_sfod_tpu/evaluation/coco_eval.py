@@ -12,8 +12,7 @@ Mirrors the reference's evaluator surface:
 
 from __future__ import annotations
 
-from collections import defaultdict
-from typing import Dict, List, Optional, Sequence
+from typing import Dict, Optional, Sequence
 
 import numpy as np
 

@@ -4,7 +4,6 @@ greedy IoU matching per image :101-129, dataset precision/recall/F1 :176-230).
 
 from __future__ import annotations
 
-from typing import Sequence
 
 import numpy as np
 

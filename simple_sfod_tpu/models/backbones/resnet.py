@@ -11,7 +11,7 @@ fixed affine like detectron2's FrozenBatchNorm.
 
 from __future__ import annotations
 
-from typing import Any, Dict, Sequence, Tuple
+from typing import Any, Dict, Sequence
 
 import jax.numpy as jnp
 from flax import linen as nn

@@ -176,7 +176,12 @@ class Detector:
         """
         cfg = self.cfg
         anchors = anchors_for(cfg, images.shape[1:3])
-        feature = self._features(variables, images, train_mode_bn, mutable=False)
+        if train_mode_bn:
+            # batch statistics, discarded (flax needs the collection mutable
+            # to run BN in train mode even when we don't keep the update)
+            feature, _ = self._features(variables, images, True, mutable=True)
+        else:
+            feature = self._features(variables, images, False, mutable=False)
         rpn_out = self._rpn(variables, feature)
         proposals = propose(cfg, anchors, rpn_out, sizes, training=False)
         pooled = pool_rois(cfg, feature, proposals.boxes)

@@ -23,7 +23,7 @@ compiled graph.
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Dict, NamedTuple, Sequence, Tuple
+from typing import Any, Dict, NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -35,14 +35,7 @@ from ..ops.nms import batched_class_nms, nms_mask_matrix
 from ..ops.roi_align import roi_align
 from ..ops.losses import sigmoid_ce, smooth_l1, softmax_ce
 from ..ops.sampler import subsample_labels, subsample_labels_mask
-from ..structures.boxes import (
-    BoxTransform,
-    clip_boxes,
-    decode_deltas,
-    encode_deltas,
-    nonempty,
-    pairwise_iou,
-)
+from ..structures.boxes import BoxTransform, clip_boxes, nonempty, pairwise_iou
 from ..structures.instances import Instances
 from .backbones.resnet import ResNetBackbone
 from .backbones.vgg import VGG16Backbone

@@ -11,7 +11,7 @@ normalisations (VPU); CORAL's SVD maps to jnp.linalg.svd. The whole
 
 from __future__ import annotations
 
-from typing import Any, Sequence, Tuple
+from typing import Any
 
 import jax
 import jax.numpy as jnp

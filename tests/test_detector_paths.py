@@ -45,6 +45,20 @@ class TestInferRaw:
         assert int(std.num_valid()[0]) <= int(raw.num_valid()[0])
 
 
+class TestTrainModeBNInfer:
+    def test_adabn_eval_probe_runs(self, small_det):
+        """train_mode_bn=True (the AdaBN eval probe / always-train-mode
+        teacher quirk) must run without mutating stored statistics."""
+        det, v = small_det
+        images, sizes = batch_of_ones()
+        before = jax.tree.map(lambda x: np.asarray(x).copy(), v["batch_stats"])
+        dets = jax.jit(lambda v, i, s: det.infer(v, i, s, train_mode_bn=True))(v, images, sizes)
+        assert dets.boxes.shape[-1] == 4
+        after = jax.tree.map(np.asarray, v["batch_stats"])
+        diff = jax.tree.map(lambda a, b: float(np.abs(a - b).max()), before, after)
+        assert max(jax.tree.leaves(diff)) == 0.0
+
+
 class TestMCDropout:
     def test_samples_differ_and_average(self, small_det):
         det, v = small_det
