@@ -185,6 +185,20 @@ class BaseTrainer:
         return {"params": params, "batch_stats": self.state.batch_stats}
 
     def train(self):
+        """Training loop with the reference's crash handling (sfat.py:126-139:
+        log + re-raise) plus an emergency checkpoint for resumability."""
+        try:
+            self._train_loop()
+        except Exception:
+            step = int(self.state.step)
+            print(f"[trainer] exception at iteration {step}; saving emergency checkpoint", flush=True)
+            try:
+                self.checkpointer.save(f"model_crash_{step:07d}", self.state)
+            except Exception as save_err:  # keep the original traceback primary
+                print(f"[trainer] emergency save failed: {save_err}", flush=True)
+            raise
+
+    def _train_loop(self):
         self.train_loader = self.train_loader or self.build_train_loader()
         it = iter(self.train_loader)
         start = int(self.state.step)

@@ -121,11 +121,13 @@ class _DATrainerBase(BaseTrainer):
             )
             ins_tgt = jnp.full_like(ins_out, domain_label)
             loss_ins = jnp.mean(sigmoid_ce(ins_out, ins_tgt))
-            # image<->instance consistency (da_faster_rcnn.py:253):
-            # |mean image-domain prob - per-instance prob| L1
-            img_prob = jax.nn.sigmoid(img_out).mean()
-            ins_prob = jax.nn.sigmoid(ins_out)
-            loss_cst = jnp.mean(jnp.abs(ins_prob - img_prob))
+            # image<->instance consistency (da_faster_rcnn.py:253): each
+            # instance's domain prob is pulled toward ITS image's mean
+            # image-level prob
+            b = images.shape[0]
+            img_prob = jax.nn.sigmoid(img_out).mean(axis=(1, 2, 3))  # [B]
+            ins_prob = jax.nn.sigmoid(ins_out).reshape(b, num_ins)
+            loss_cst = jnp.mean(jnp.abs(ins_prob - img_prob[:, None]))
             return loss_img, loss_ins, loss_cst
 
         def step_fn(state, src_images, src_sizes, src_gt: Instances, tgt_images, tgt_sizes, rng):
