@@ -118,6 +118,7 @@ def get_cfg() -> CfgNode:
     c.SOLVER.WARMUP_ITERS = 1000
     c.SOLVER.WARMUP_METHOD = "linear"
     c.SOLVER.CHECKPOINT_PERIOD = 5000
+    c.SOLVER.REFERENCE_WORLD_SIZE = 0  # 0 = no auto LR/iter scaling
     c.SOLVER.CLIP_GRADIENTS = CfgNode()
     c.SOLVER.CLIP_GRADIENTS.ENABLED = False
     c.SOLVER.CLIP_GRADIENTS.CLIP_VALUE = 1.0

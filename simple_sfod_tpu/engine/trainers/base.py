@@ -72,6 +72,12 @@ class BaseTrainer:
                 ),
             )
         self.mesh = make_mesh(mesh_n)
+        # linear-scaling rule when SOLVER.REFERENCE_WORLD_SIZE is set
+        # (reference base.py:38 auto_scale_workers)
+        from ...solver.build import auto_scale_workers
+
+        cfg = auto_scale_workers(cfg, mesh_n)
+        self.cfg = cfg
         self.output_dir = cfg.OUTPUT_DIR
         os.makedirs(self.output_dir, exist_ok=True)
         self.checkpointer = Checkpointer(self.output_dir)

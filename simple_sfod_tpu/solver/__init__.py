@@ -1,3 +1,3 @@
-from .build import build_optimizer, warmup_multistep_schedule
+from .build import auto_scale_workers, build_optimizer, warmup_multistep_schedule
 
-__all__ = ["build_optimizer", "warmup_multistep_schedule"]
+__all__ = ["auto_scale_workers", "build_optimizer", "warmup_multistep_schedule"]

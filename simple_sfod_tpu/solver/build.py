@@ -44,6 +44,27 @@ def warmup_multistep_schedule(
     return schedule
 
 
+def auto_scale_workers(cfg, new_world_size: int):
+    """Linear-scaling-rule config rewrite (detectron2 auto_scale_workers,
+    used by the reference at base.py:38): when the data-parallel width
+    changes, scale LR up and iteration counts down by the same factor so the
+    trained model is equivalent. Returns a new (defrosted) cfg."""
+    old = getattr(cfg.SOLVER, "REFERENCE_WORLD_SIZE", 0) or 0
+    if old == 0 or old == new_world_size:
+        return cfg
+    scale = new_world_size / old
+    cfg = cfg.clone()
+    cfg.defrost()
+    cfg.SOLVER.BASE_LR = cfg.SOLVER.BASE_LR * scale
+    cfg.SOLVER.MAX_ITER = int(round(cfg.SOLVER.MAX_ITER / scale))
+    cfg.SOLVER.WARMUP_ITERS = int(round(cfg.SOLVER.WARMUP_ITERS / scale))
+    cfg.SOLVER.STEPS = tuple(int(round(s / scale)) for s in cfg.SOLVER.STEPS)
+    cfg.TEST.EVAL_PERIOD = int(round(cfg.TEST.EVAL_PERIOD / scale))
+    cfg.SOLVER.CHECKPOINT_PERIOD = int(round(cfg.SOLVER.CHECKPOINT_PERIOD / scale))
+    cfg.SOLVER.REFERENCE_WORLD_SIZE = new_world_size
+    return cfg
+
+
 def build_optimizer(cfg) -> optax.GradientTransformation:
     schedule = warmup_multistep_schedule(
         cfg.SOLVER.BASE_LR,

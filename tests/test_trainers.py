@@ -151,3 +151,23 @@ class TestSchedule:
         assert float(sched(1)) == pytest.approx(2.0)
         assert float(sched(7)) == pytest.approx(1.0)
         assert float(sched(12)) == pytest.approx(0.5)
+
+
+class TestAutoScale:
+    def test_linear_scaling_rule(self):
+        from simple_sfod_tpu.solver.build import auto_scale_workers
+
+        cfg = tiny_cfg("base")
+        cfg.SOLVER.REFERENCE_WORLD_SIZE = 1
+        cfg.SOLVER.BASE_LR = 0.01
+        cfg.SOLVER.MAX_ITER = 1000
+        cfg.SOLVER.STEPS = (600,)
+        cfg.SOLVER.WARMUP_ITERS = 100
+        out = auto_scale_workers(cfg, 4)
+        assert out.SOLVER.BASE_LR == 0.04
+        assert out.SOLVER.MAX_ITER == 250
+        assert out.SOLVER.STEPS == (150,)
+        assert out.SOLVER.WARMUP_ITERS == 25
+        # no-op when unset
+        cfg2 = tiny_cfg("base")
+        assert auto_scale_workers(cfg2, 4) is cfg2
