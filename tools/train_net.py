@@ -25,10 +25,16 @@ def default_argument_parser():
     p.add_argument("--config-file", default="", metavar="FILE")
     p.add_argument("--eval-only", action="store_true")
     p.add_argument("--resume", action="store_true")
-    p.add_argument("--num-chips", type=int, default=-1, help="data-parallel width")
-    p.add_argument("--coordinator", default=None, help="multi-host coordinator addr")
-    p.add_argument("--num-processes", type=int, default=1)
-    p.add_argument("--process-id", type=int, default=0)
+    # --num-gpus is the reference's flag name (train_net.py:92); both spell
+    # the data-parallel width here
+    p.add_argument("--num-chips", "--num-gpus", dest="num_chips", type=int, default=-1,
+                   help="data-parallel width (reference: --num-gpus)")
+    # multi-host: reference used --num-machines/--machine-rank/--dist-url for
+    # the NCCL store; these map onto jax.distributed
+    p.add_argument("--coordinator", "--dist-url", dest="coordinator", default=None,
+                   help="multi-host coordinator address (reference: --dist-url)")
+    p.add_argument("--num-processes", "--num-machines", dest="num_processes", type=int, default=1)
+    p.add_argument("--process-id", "--machine-rank", dest="process_id", type=int, default=0)
     p.add_argument("--synthetic", action="store_true", help="synthetic data (no dataset on disk)")
     p.add_argument("opts", nargs=argparse.REMAINDER, default=[])
     return p
