@@ -1,46 +1,33 @@
 """End-to-end fixed pseudo-label pipeline (SURVEY §3.5): detections dump ->
-prediction_to_gt splice -> re-register as GT -> WQ training step."""
+prediction_to_gt splice -> re-register as GT -> WQ training step.
+
+Reuses test_trainers.tiny_cfg shapes (64x128) so the compiled graphs are
+shared with the rest of the suite (cold compiles of the SPMD step at larger
+canvases take tens of minutes on this 1-core host)."""
 
 import json
 import os
 import sys
 
 import numpy as np
-import jax
-import jax.numpy as jnp
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools", "converters"))
 
-from simple_sfod_tpu.config import get_cfg
 from simple_sfod_tpu.data.datasets import DATASET_REGISTRY, register_dataset
-from simple_sfod_tpu.data.synthetic import register_synthetic
-from simple_sfod_tpu.engine.eval_loop import inference_on_dataset
 from simple_sfod_tpu.engine.trainers import build_trainer
 
 from prediction_to_gt import convert  # noqa: E402
-
-
-def tiny_cfg():
-    cfg = get_cfg()
-    cfg.merge_from_file(
-        os.path.join(os.path.dirname(__file__), "..", "configs", "synthetic_tiny.yaml"),
-        allow_new=True,
-    )
-    cfg.OUTPUT_DIR = "/tmp/sfod_pl_pipeline"
-    cfg.SOLVER.MAX_ITER = 1
-    return cfg
+from test_trainers import tiny_cfg  # noqa: E402
 
 
 def test_pipeline_roundtrip(tmp_path):
-    cfg = tiny_cfg()
-    register_synthetic("synthetic_train", 4, (128, 256), 4, seed=0)
-    register_synthetic("synthetic_target", 4, (128, 256), 4, seed=1)
-    register_synthetic("synthetic_test", 4, (128, 256), 4, seed=2)
+    cfg = tiny_cfg("base")
+    cfg.OUTPUT_DIR = "/tmp/sfod_pl_pipeline"
     cfg.freeze()
 
     # stage 1: run inference, dump detections JSON
     tr = build_trainer(cfg, synthetic=True)
-    res = tr.test()
+    tr.test()
     dump_path = os.path.join(cfg.OUTPUT_DIR, "inference", "coco_instances_results.json")
     assert os.path.exists(dump_path)
     with open(dump_path) as f:
@@ -68,10 +55,12 @@ def test_pipeline_roundtrip(tmp_path):
         json.dump(spliced, f)
 
     # stage 3: register the spliced JSON and run one WQ training step on it
-    register_dataset("synthetic_pseudo", str(out_json), image_root="", thing_classes=[f"c{i}" for i in range(4)])
-    cfg2 = tiny_cfg()
-    cfg2.TRAINER = "base_wq"
+    register_dataset(
+        "synthetic_pseudo", str(out_json), image_root="", thing_classes=[f"c{i}" for i in range(4)]
+    )
+    cfg2 = tiny_cfg("base_wq")
     cfg2.DATASETS.TRAIN = ("synthetic_pseudo",)
+    cfg2.OUTPUT_DIR = "/tmp/sfod_pl_pipeline2"
     cfg2.freeze()
     tr2 = build_trainer(cfg2, synthetic=True)
     batch = next(iter(tr2.build_train_loader()))

@@ -36,6 +36,9 @@ def tiny_cfg(trainer="base", **overrides):
     cfg.TEST.VAL_LOSS = False
     cfg.TPU.CANVAS = (64, 128)
     cfg.TPU.GT_CAPACITY = 8
+    # single-device: the XLA CPU SPMD partitioner takes 15-25 min per graph
+    # on this 1-core host; only tests/test_sharding.py exercises a mesh
+    cfg.TPU.MESH_DATA = 1
     cfg.INPUT.MIN_SIZE_TRAIN = (64,)
     cfg.INPUT.MIN_SIZE_TEST = 64
     cfg.SEED = 0
