@@ -94,3 +94,44 @@ class TestMosaicMixup:
         np.testing.assert_allclose(np.asarray(out[0]), 50.0)
         assert merged.boxes.shape == (2, 2, 4)
         assert merged.classes[0].tolist() == [0, 1]
+
+
+class TestMosaicGeometry:
+    def test_hand_computed_box_placement(self):
+        """Pin the mosaic layout: with a known center, each tile shows the
+        source's corner region facing the center, and boxes shift by the same
+        inverse offset."""
+        h, w = 32, 64
+        # distinct constant images so tiles are identifiable
+        images = jnp.stack([jnp.full((h, w, 3), float(v)) for v in (10, 20, 30, 40)])
+        # one box per source at a known place
+        boxes = np.zeros((4, 1, 4), np.float32)
+        boxes[0, 0] = [50, 20, 60, 30]  # source 0, near its bottom-right
+        boxes[1, 0] = [2, 24, 12, 31]
+        boxes[2, 0] = [52, 2, 62, 10]
+        boxes[3, 0] = [2, 2, 12, 10]
+        gt = _batched_instances(boxes, np.zeros((4, 1), np.int32))
+
+        from simple_sfod_tpu.data import mosaic as M
+
+        # fix the center by monkeypatching uniform to 0.5 -> cy=16, cx=32
+        orig = jax.random.uniform
+        try:
+            jax.random.uniform = lambda *a, **k: jnp.asarray(0.5)
+            out, merged = M.mosaic_batch(jax.random.key(0), images, gt)
+        finally:
+            jax.random.uniform = orig
+        img0 = np.asarray(out[0])
+        # TL quadrant shows source0 (value 10), TR source1 (20), etc.
+        assert img0[8, 16, 0] == 10
+        assert img0[8, 48, 0] == 20
+        assert img0[24, 16, 0] == 30
+        assert img0[24, 48, 0] == 40
+        mb = np.asarray(merged.boxes[0])
+        mv = np.asarray(merged.valid[0])
+        # source0's box [50,20,60,30] shifts by (cx - w, cy - h) = (-32, -16)
+        np.testing.assert_allclose(mb[0], [18, 4, 28, 14])
+        assert mv[0]
+        # source1's box [2,24,12,31] shifts by (+cx, -16) = [34, 8, 44, 15]
+        np.testing.assert_allclose(mb[1], [34, 8, 44, 15])
+        assert mv[1]
