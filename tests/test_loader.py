@@ -1,0 +1,65 @@
+"""DetectionLoader geometry: resize scaling, GT scaling, padding, epochs."""
+
+import numpy as np
+
+from simple_sfod_tpu.data.loader import DetectionLoader
+
+
+def records_with_image(h0, w0):
+    img = np.zeros((h0, w0, 3), np.float32)
+    img[10:20, 30:50] = 200.0
+    return [
+        {
+            "file_name": "mem.png",
+            "height": h0,
+            "width": w0,
+            "image_id": 1,
+            "boxes": [[30.0, 10.0, 50.0, 20.0]],
+            "classes": [1],
+            "image": img,
+        }
+    ]
+
+
+class TestLoaderGeometry:
+    def test_resize_scales_gt_and_records_size(self):
+        # 100x200 original, min_size 50 -> scale 0.5 -> 50x100 on a 64x128 canvas
+        recs = records_with_image(100, 200)
+        loader = DetectionLoader(
+            recs, batch_size=1, canvas_hw=(64, 128), min_size=50, gt_capacity=4,
+            training=False, prefetch=0,
+        )
+        batch = next(iter(loader))
+        assert batch["images"].shape == (1, 64, 128, 3)
+        assert batch["images"].dtype == np.uint8
+        np.testing.assert_allclose(batch["scale"], [0.5])
+        assert batch["sizes"][0].tolist() == [50, 100]
+        np.testing.assert_allclose(batch["gt_boxes"][0, 0], [15, 5, 25, 10])
+        assert batch["gt_valid"][0, 0]
+        # padding region is zero
+        assert batch["images"][0, 55:, :].max() == 0
+        assert batch["images"][0, :, 105:].max() == 0
+
+    def test_eval_pads_final_batch_by_repeat(self):
+        recs = records_with_image(64, 128) * 1
+        recs = [dict(recs[0], image_id=i + 1) for i in range(3)]
+        loader = DetectionLoader(
+            recs, batch_size=2, canvas_hw=(64, 128), min_size=64, gt_capacity=4,
+            training=False, prefetch=0,
+        )
+        batches = list(loader)
+        assert len(batches) == 2
+        # final batch repeats the last record to fill
+        assert batches[1]["image_ids"].tolist() == [3, 3]
+
+    def test_train_stream_is_infinite_and_shuffled(self):
+        recs = [dict(records_with_image(64, 128)[0], image_id=i + 1) for i in range(4)]
+        loader = DetectionLoader(
+            recs, batch_size=2, canvas_hw=(64, 128), min_size=64, gt_capacity=4,
+            training=True, seed=0, prefetch=0,
+        )
+        it = iter(loader)
+        ids = [tuple(next(it)["image_ids"].tolist()) for _ in range(6)]
+        assert len(ids) == 6  # keeps producing past one epoch
+        flat = [i for t in ids for i in t]
+        assert set(flat) == {1, 2, 3, 4}
