@@ -266,7 +266,13 @@ class BaseTrainer:
             results[name] = res
             ap_line = {k: res.get(k) for k in ("AP", "AP50", "AP75", "F1")}
             print(f"[eval] {name}: {ap_line}", flush=True)
+            print_per_class_table(res)
             self.storage.put_scalar(f"{name}/AP50", res.get("AP50", float("nan")))
+        # persist results like the reference's inference/ summary files
+        import json
+
+        with open(os.path.join(self.output_dir, "eval_results.json"), "w") as f:
+            json.dump(_jsonable(results), f, indent=2)
         return results
 
     # -- AdaBN (reference base.py:318-337) ------------------------------------
@@ -292,6 +298,34 @@ class BaseTrainer:
         results = self.test()
         self.checkpointer.save("adabn", self.state)
         return results
+
+
+def print_per_class_table(res: Dict):
+    """Per-class AP / AP50 table (the reference's NewCOCOEvaluator output,
+    new_cocoevaluator.py:79-110)."""
+    per_class = res.get("per_class")
+    if not per_class:
+        return
+    name_w = max(len(n) for n in per_class) + 2
+    print(f"{'class':<{name_w}}{'AP':>8}{'AP50':>8}")
+    for name, vals in per_class.items():
+        ap = vals.get("AP", float("nan"))
+        ap50 = vals.get("AP50", float("nan"))
+        print(f"{name:<{name_w}}{ap:8.2f}{ap50:8.2f}")
+
+
+def _jsonable(obj):
+    import math
+
+    if isinstance(obj, dict):
+        return {str(k): _jsonable(v) for k, v in obj.items()}
+    if isinstance(obj, (list, tuple)):
+        return [_jsonable(v) for v in obj]
+    if isinstance(obj, float) and math.isnan(obj):
+        return None
+    if isinstance(obj, (np.floating, np.integer)):
+        return obj.item()
+    return obj
 
 
 def reset_bn_tree(batch_stats):

@@ -294,7 +294,42 @@ class SourceFreeAdaptiveTeacherTrainer(BaseTrainer):
         sizes = jnp.asarray(batch["sizes"])
         images, sizes = shard_batch(self.mesh, (images, sizes))
         self.state, metrics = self._train_step(self.state, images, sizes, self.base_rng)
+        self._maybe_visualize(batch)
         return metrics
+
+    def _maybe_visualize(self, batch):
+        """Teacher pseudo-labels -> TensorBoard every VIS_PERIOD steps
+        (the reference's visualize_training, meta_arch :351-393)."""
+        period = self.cfg.VIS_PERIOD
+        if period <= 0 or (self.storage.iter + 1) % period:
+            return
+        if not hasattr(self, "_vis_hook"):
+            from ...utils.visualize import VisualizationHook
+
+            self._vis_hook = VisualizationHook(
+                self.output_dir,
+                period,
+                input_format=self.cfg.INPUT.FORMAT,
+            )
+            self._vis_infer = jax.jit(
+                lambda v, i, s: self.detector.infer(v, i, s)
+            )
+        dets = self._vis_infer(
+            self.state.teacher_variables(),
+            jnp.asarray(batch["images"][:1]),
+            jnp.asarray(batch["sizes"][:1]),
+        )
+        import numpy as np
+
+        keep = np.asarray(dets.valid[0]) & (np.asarray(dets.scores[0]) > self.cfg.SEMISUPNET.BBOX_THRESHOLD)
+        self._vis_hook.after_step(
+            self.storage.iter,
+            batch["images"][0],
+            np.asarray(dets.boxes[0])[keep],
+            np.asarray(dets.classes[0])[keep],
+            np.asarray(dets.scores[0])[keep],
+            tag="train/teacher_pseudo_labels",
+        )
 
     # -- evaluation: test BOTH student and teacher (sfat.py:647-675) ----------
     def test(self, dataset_names=None) -> Dict:
