@@ -205,11 +205,28 @@ def gt_instances(batch: ArrayBatch) -> Instances:
     )
 
 
-def build_train_loader(cfg, dataset_names=None, batch_size=None, seed=None, **kw):
+def divide_label_unlabel(records, sup_percent: float, random_seed: int):
+    """Deterministic labeled/unlabeled split (reference data/build.py:31-56:
+    DATALOADER.SUP_PERCENT of the set is treated as labeled, chosen by
+    RANDOM_DATA_SEED). Returns (labeled, unlabeled)."""
+    n = len(records)
+    n_label = int(n * sup_percent / 100.0)
+    rs = np.random.RandomState(random_seed)
+    perm = rs.permutation(n)
+    labeled = [records[i] for i in sorted(perm[:n_label])]
+    unlabeled = [records[i] for i in sorted(perm[n_label:])]
+    return labeled, unlabeled
+
+
+def build_train_loader(cfg, dataset_names=None, batch_size=None, seed=None, labeled=True, **kw):
     names = dataset_names or cfg.DATASETS.TRAIN
     records = []
     for name in names:
         records.extend(get_dataset(name)["records"])
+    sup = float(cfg.DATALOADER.SUP_PERCENT)
+    if sup < 100.0:
+        lab, unlab = divide_label_unlabel(records, sup, cfg.DATALOADER.RANDOM_DATA_SEED)
+        records = lab if labeled else unlab
     return DetectionLoader(
         records,
         batch_size or cfg.SOLVER.IMS_PER_BATCH,

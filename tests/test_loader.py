@@ -63,3 +63,18 @@ class TestLoaderGeometry:
         assert len(ids) == 6  # keeps producing past one epoch
         flat = [i for t in ids for i in t]
         assert set(flat) == {1, 2, 3, 4}
+
+
+class TestSupPercent:
+    def test_divide_label_unlabel_deterministic(self):
+        from simple_sfod_tpu.data.loader import divide_label_unlabel
+
+        recs = [{"image_id": i} for i in range(10)]
+        lab1, unlab1 = divide_label_unlabel(recs, 30.0, random_seed=0)
+        lab2, unlab2 = divide_label_unlabel(recs, 30.0, random_seed=0)
+        assert lab1 == lab2 and unlab1 == unlab2
+        assert len(lab1) == 3 and len(unlab1) == 7
+        ids = {r["image_id"] for r in lab1} | {r["image_id"] for r in unlab1}
+        assert ids == set(range(10))
+        lab3, _ = divide_label_unlabel(recs, 30.0, random_seed=1)
+        assert lab3 != lab1  # seed changes the split
