@@ -197,6 +197,7 @@ _BACKBONE_MAP = {
     "build_vgg_backbone": "vgg16",
     "build_vgg_fpn_backbone": "vgg16",
     "build_resnet_backbone": None,  # resolved from RESNETS.DEPTH
+    "build_tiny_backbone": "tiny",  # dryrun/CI-only 2-conv stem (backbones/tiny.py)
 }
 
 

@@ -38,6 +38,7 @@ from ..ops.sampler import subsample_labels, subsample_labels_mask
 from ..structures.boxes import BoxTransform, clip_boxes, nonempty, pairwise_iou
 from ..structures.instances import Instances
 from .backbones.resnet import ResNetBackbone
+from .backbones.tiny import TinyBackbone
 from .backbones.vgg import VGG16Backbone
 from .heads import FastRCNNConvFCHead, FastRCNNPredictor, RPNHead
 
@@ -91,12 +92,12 @@ class DetectorConfig:
 
     @property
     def stride(self) -> int:
-        strides = {"vgg16": VGG16Backbone.out_strides(), "resnet50": ResNetBackbone.out_strides(), "resnet101": ResNetBackbone.out_strides()}
+        strides = {"vgg16": VGG16Backbone.out_strides(), "resnet50": ResNetBackbone.out_strides(), "resnet101": ResNetBackbone.out_strides(), "tiny": TinyBackbone.out_strides()}
         return strides[self.backbone][self.in_feature]
 
     @property
     def feature_channels(self) -> int:
-        chans = {"vgg16": VGG16Backbone.out_channels(), "resnet50": ResNetBackbone.out_channels(), "resnet101": ResNetBackbone.out_channels()}
+        chans = {"vgg16": VGG16Backbone.out_channels(), "resnet50": ResNetBackbone.out_channels(), "resnet101": ResNetBackbone.out_channels(), "tiny": TinyBackbone.out_channels()}
         return chans[self.backbone][self.in_feature]
 
 
@@ -120,6 +121,8 @@ class FasterRCNN(nn.Module):
             self.backbone = ResNetBackbone(
                 depth=depth, norm=c.resnet_norm, out_features=(c.in_feature,), dtype=c.dtype
             )
+        elif c.backbone == "tiny":
+            self.backbone = TinyBackbone(bn=c.vgg_bn, dtype=c.dtype)
         else:
             raise ValueError(f"unknown backbone {c.backbone}")
         self.rpn_head = RPNHead(num_anchors=c.num_anchors, dtype=c.dtype)
@@ -156,6 +159,12 @@ class FasterRCNN(nn.Module):
         """pooled: [N, P, P, C] -> (scores [N, C+1], deltas [N, 4K])."""
         x = self.box_head(pooled, train=train, mc_dropout=mc_dropout)
         return self.predictor(x)
+
+    def box_feature(self, pooled: jnp.ndarray, train: bool = False):
+        """pooled: [N, P, P, C] -> box-head feature [N, fc_dim] (the
+        `cls_score.in_features` tensor the reference's instance-level domain
+        classifier consumes, meta_arch :70 + instance_dc_loss :341-349)."""
+        return self.box_head(pooled, train=train)
 
 
 # --------------------------------------------------------------------------
@@ -338,6 +347,54 @@ def roi_losses(
     reg = smooth_l1(fg_deltas, reg_targets, 0.0)
     loss_reg = jnp.sum(reg * is_fg[:, None].astype(jnp.float32)) / denom
     return {"loss_cls": loss_cls, "loss_box_reg": loss_reg}
+
+
+def bpc_candidates(
+    cfg: DetectorConfig,
+    scores: jnp.ndarray,  # [B*S, C+1] logits
+    deltas: jnp.ndarray,  # [B*S, 4C]
+    sampled: SampledProposals,
+    image_sizes: jnp.ndarray,  # [B, 2]
+) -> Instances:
+    """The BPC loss's input: every (sampled proposal, foreground class) pair
+    as one candidate — S*C per image, NO score filter, NO NMS.
+
+    Parity with the reference's convert_bbox_scores path
+    (source_free_fast_rcnn.py:15-38; :121 `filter_mask = scores > 0`; NMS
+    commented out :132-138) as invoked from the ROI heads' _forward_box
+    (source_free_adaptive_teacher_roi_heads.py:136-160): there the proposal
+    boxes are FIRST replaced by predict_boxes_for_gt_classes (the GT class's
+    decoded boxes) and convert_bbox_scores then applies the per-class deltas
+    relative to those — a double decode we reproduce faithfully. Scores are
+    softmax probabilities with background dropped; boxes are clipped to the
+    image.
+    """
+    b, s = sampled.gt_classes.shape
+    c = scores.shape[-1] - 1
+    probs = jax.nn.softmax(scores, axis=-1)[:, :-1]  # [B*S, C]
+    k = deltas.shape[-1] // 4
+    deltas_k = deltas.reshape(-1, k, 4)
+    prop = sampled.boxes.reshape(-1, 4)
+    # predict_boxes_for_gt_classes: decode the matched GT class's deltas
+    gt_cls = jnp.clip(sampled.gt_classes.reshape(-1), 0, k - 1)
+    gt_deltas = jnp.take_along_axis(
+        deltas_k, gt_cls[:, None, None].repeat(4, -1), axis=1
+    )[:, 0]
+    base = ROI_BOX_TRANSFORM.apply_deltas(gt_deltas, prop)  # [B*S, 4]
+    # second decode: all per-class deltas relative to the updated boxes
+    boxes_all = ROI_BOX_TRANSFORM.apply_deltas(deltas, base)  # [B*S, 4C]
+    boxes_all = boxes_all.reshape(b, s * c, 4)
+
+    def clip_b(bx, size):
+        return clip_boxes(bx, size)
+
+    boxes_all = jax.vmap(clip_b)(boxes_all, image_sizes)
+    return Instances(
+        boxes=jax.lax.stop_gradient(boxes_all),
+        scores=probs.reshape(b, s * c),
+        classes=jnp.tile(jnp.arange(c, dtype=jnp.int32), (b, s)).reshape(b, s * c),
+        valid=jnp.repeat(sampled.valid, c, axis=-1).reshape(b, s * c),
+    )
 
 
 def roi_inference(
