@@ -73,6 +73,8 @@ class AdaptiveTeacherTrainer(SourceFreeAdaptiveTeacherTrainer):
         pseudo_capacity = self.det_cfg.detections_per_image
         dc_enabled = self.dc_enabled
         dc_img = getattr(self, "dc_img", None)
+        ins_dc_enabled = self.ins_dc_enabled
+        dc_ins = getattr(self, "dc_ins", None)
 
         def step_fn(
             state: TeacherStudentState,
@@ -86,7 +88,7 @@ class AdaptiveTeacherTrainer(SourceFreeAdaptiveTeacherTrainer):
             src_images = src_images.astype(jnp.float32)
             tgt_images = tgt_images.astype(jnp.float32)
             rng = jax.random.fold_in(rng, state.step)
-            k_flip_s, k_flip_t, k_strong, k_sup, k_unsup = jax.random.split(rng, 5)
+            k_flip_s, k_flip_t, k_strong, k_sup, k_unsup, k_dc = jax.random.split(rng, 6)
             in_burn_up = state.step < burn_up
 
             src_images, src_gt = apply_weak_aug(k_flip_s, src_images, src_sizes, src_gt)
@@ -137,6 +139,39 @@ class AdaptiveTeacherTrainer(SourceFreeAdaptiveTeacherTrainer):
                     metrics["loss_DC_img_s"] = loss_s
                     metrics["loss_DC_img_t"] = loss_t
                     total = total + dis_w * (loss_s + loss_t)
+                if ins_dc_enabled:
+                    # instance-level discriminator (reference AT meta_arch
+                    # :157-203); the AT trainer's loss weighting leaves
+                    # loss_DC_ins_* in the x1 else-branch (adaptive_teacher.py
+                    # :316-327), unlike SFAT's DIS_LOSS_WEIGHT
+                    from ...ops.losses import sigmoid_ce as _ce
+
+                    k_ds, k_dt = jax.random.split(k_dc)
+                    bf_s, v_s = det.box_features(variables, src_images, src_sizes)
+                    bf_t, v_t = det.box_features(variables, tgt_weak, tgt_sizes)
+                    out_s = dc_ins.apply(
+                        {"params": params["dc_ins"]},
+                        gradient_scalar(bf_s, -1.0),
+                        train=True,
+                        rngs={"dropout": k_ds},
+                    )[:, 0]
+                    out_t = dc_ins.apply(
+                        {"params": params["dc_ins"]},
+                        gradient_scalar(bf_t, -1.0),
+                        train=True,
+                        rngs={"dropout": k_dt},
+                    )[:, 0]
+                    vs = v_s.astype(jnp.float32)
+                    vt = v_t.astype(jnp.float32)
+                    loss_ins_s = jnp.sum(_ce(out_s, jnp.zeros_like(out_s)) * vs) / jnp.maximum(
+                        jnp.sum(vs), 1.0
+                    )
+                    loss_ins_t = jnp.sum(_ce(out_t, jnp.ones_like(out_t)) * vt) / jnp.maximum(
+                        jnp.sum(vt), 1.0
+                    )
+                    metrics["loss_DC_ins_s"] = loss_ins_s
+                    metrics["loss_DC_ins_t"] = loss_ins_t
+                    total = total + loss_ins_s + loss_ins_t
                 return total, (metrics, new_stats)
 
             (total, (metrics, new_stats)), grads = jax.value_and_grad(loss_fn, has_aux=True)(

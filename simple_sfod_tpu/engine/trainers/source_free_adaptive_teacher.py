@@ -30,7 +30,7 @@ import optax
 
 from ...data import transforms as T
 from ...data.loader import build_train_loader
-from ...models.dann import FCDiscriminatorImg, gradient_scalar
+from ...models.dann import DAInsHead, FCDiscriminatorImg, gradient_scalar
 from ...models.detector import DetectionBatch
 from ...ops.losses import sigmoid_ce
 from ...parallel.mesh import shard_batch
@@ -51,6 +51,14 @@ class SourceFreeAdaptiveTeacherTrainer(BaseTrainer):
 
     def __init__(self, cfg, synthetic: bool = False):
         self.dc_enabled = bool(cfg.DOMAIN_CLASSIFIER.ENABLED)
+        # Instance-level discriminator: the reference builds DC_ins behind
+        # SEMISUPNET.INS_DC (meta_arch :69-71,:88) and weights its losses
+        # behind DOMAIN_CLASSIFIER.INSTANCE (sfat.py:557). Setting INSTANCE
+        # without INS_DC is a silent no-op there; here either flag builds the
+        # module so INSTANCE=True always produces (and weights) the loss.
+        self.ins_dc_enabled = self.dc_enabled and (
+            bool(cfg.SEMISUPNET.INS_DC) or bool(cfg.DOMAIN_CLASSIFIER.INSTANCE)
+        )
         super().__init__(cfg, synthetic=synthetic)
 
     # -- state ---------------------------------------------------------------
@@ -67,6 +75,10 @@ class SourceFreeAdaptiveTeacherTrainer(BaseTrainer):
             )
             dummy = jnp.zeros((1, *feat_hw, self.det_cfg.feature_channels))
             params["dc"] = self.dc_img.init(self.base_rng, dummy)["params"]
+        if self.ins_dc_enabled:
+            self.dc_ins = DAInsHead(dtype=self.det_cfg.dtype)
+            dummy_bf = jnp.zeros((1, self.det_cfg.fc_dim))
+            params["dc_ins"] = self.dc_ins.init(self.base_rng, dummy_bf, train=False)["params"]
         # teacher starts as a COPY of the student (both from the source
         # checkpoint); distinct buffers are required because the jitted step
         # donates the whole state (same-buffer donation is illegal).
@@ -153,9 +165,12 @@ class SourceFreeAdaptiveTeacherTrainer(BaseTrainer):
         pseudo_capacity = det_cfg.detections_per_image
         dc_enabled = self.dc_enabled
         dc_image = bool(cfg.DOMAIN_CLASSIFIER.IMAGE)
+        ins_dc_enabled = self.ins_dc_enabled
+        dc_instance = bool(cfg.DOMAIN_CLASSIFIER.INSTANCE)
         pseudo_from_student = self.pseudo_from_student
         ema_enabled = self.ema_enabled
         dc_img = getattr(self, "dc_img", None)
+        dc_ins = getattr(self, "dc_ins", None)
         style = self._build_style_transfer() if cfg.STYLE.ENABLED else None
 
         def step_fn(state: TeacherStudentState, images, sizes, rng):
@@ -251,6 +266,37 @@ class SourceFreeAdaptiveTeacherTrainer(BaseTrainer):
                     metrics["loss_DC_img_t"] = loss_t
                     if dc_image:
                         total = total + dis_w * (loss_s + loss_t)
+                if ins_dc_enabled:
+                    # instance-level discriminator on box-head features
+                    # behind gradient reversal (reference instance_dc_loss,
+                    # meta_arch :341-349; weighted at sfat.py:557)
+                    k_ds, k_dt = jax.random.split(rng_dc)
+                    bf_s, v_s = det.box_features(variables, images_s, sizes)
+                    bf_t, v_t = det.box_features(variables, images_w, sizes)
+                    out_s = dc_ins.apply(
+                        {"params": params["dc_ins"]},
+                        gradient_scalar(bf_s, -1.0),
+                        train=True,
+                        rngs={"dropout": k_ds},
+                    )[:, 0]
+                    out_t = dc_ins.apply(
+                        {"params": params["dc_ins"]},
+                        gradient_scalar(bf_t, -1.0),
+                        train=True,
+                        rngs={"dropout": k_dt},
+                    )[:, 0]
+                    vs = v_s.astype(jnp.float32)
+                    vt = v_t.astype(jnp.float32)
+                    loss_ins_s = jnp.sum(
+                        sigmoid_ce(out_s, jnp.zeros_like(out_s)) * vs
+                    ) / jnp.maximum(jnp.sum(vs), 1.0)
+                    loss_ins_t = jnp.sum(
+                        sigmoid_ce(out_t, jnp.ones_like(out_t)) * vt
+                    ) / jnp.maximum(jnp.sum(vt), 1.0)
+                    metrics["loss_DC_ins_s"] = loss_ins_s
+                    metrics["loss_DC_ins_t"] = loss_ins_t
+                    if dc_instance:
+                        total = total + dis_w * (loss_ins_s + loss_ins_t)
                 return total, (metrics, new_stats)
 
             (total, (metrics, new_stats)), grads = jax.value_and_grad(

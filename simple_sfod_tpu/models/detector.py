@@ -128,32 +128,14 @@ class Detector:
         metrics["num_fg"] = jnp.sum(sampled.is_fg.astype(jnp.int32))
         metrics["num_sampled"] = jnp.sum(sampled.valid.astype(jnp.int32))
         if with_bpc:
-            # BPC calibration loss over the raw (no-NMS, no-thresh) student
-            # predictions from the SAME forward (the reference's
-            # convert_bbox_scores path feeding bpc_loss, meta_arch :293).
-            # Logged only — the trainer weights it x0 like the reference.
+            # BPC calibration loss over the sampled ROI batch expanded to all
+            # (proposal, class) pairs, no thresh / no NMS — exactly what the
+            # reference's convert_bbox_scores feeds bpc_loss (meta_arch :293
+            # via roi_heads :160). Logged only — the trainer weights it x0.
             from ..losses.bpc import bpc_loss
-            from ..structures.boxes import decode_deltas
-            from .faster_rcnn import ROI_BOX_TRANSFORM
+            from .faster_rcnn import bpc_candidates
 
-            b, s = sampled.gt_classes.shape
-            probs = jax.nn.softmax(scores, axis=-1)[:, :-1]  # [B*S, C]
-            pred_cls = jnp.argmax(probs, axis=-1).astype(jnp.int32)
-            pred_score = jnp.max(probs, axis=-1)
-            k = deltas.shape[-1] // 4
-            deltas_k = deltas.reshape(-1, k, 4)
-            cls_deltas = jnp.take_along_axis(
-                deltas_k, jnp.clip(pred_cls, 0, k - 1)[:, None, None].repeat(4, -1), axis=1
-            )[:, 0]
-            pred_boxes = ROI_BOX_TRANSFORM.apply_deltas(
-                cls_deltas, sampled.boxes.reshape(-1, 4)
-            )
-            preds = Instances(
-                boxes=jax.lax.stop_gradient(pred_boxes).reshape(b, s, 4),
-                scores=pred_score.reshape(b, s),
-                classes=pred_cls.reshape(b, s),
-                valid=sampled.valid,
-            )
+            preds = bpc_candidates(cfg, scores, deltas, sampled, batch.sizes)
             metrics["loss_bpc"] = bpc_loss(preds, batch.gt)
         return total, metrics, new_stats
 
@@ -222,6 +204,29 @@ class Detector:
             apply_nms=False,
             apply_score_thresh=False,
         )
+
+    def box_features(
+        self, variables, images: jnp.ndarray, sizes: jnp.ndarray
+    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """Box-head features of the post-NMS RPN proposals, for the
+        instance-level domain classifier (reference meta_arch
+        source_free_adaptive_teacher_rcnn.py:157-203: proposal_generator with
+        compute_loss=False -> roi_heads box features -> DC_ins).
+
+        Returns (features [B*R, fc_dim], valid [B*R]). Gradients flow into
+        the backbone + box head (the GRL sits in the caller), but not through
+        the proposal coordinates — matching the supervised path's
+        stop_gradient on proposal boxes.
+        """
+        cfg = self.cfg
+        anchors = anchors_for(cfg, images.shape[1:3])
+        feature = self._features(variables, images, False, mutable=False)
+        rpn_out = self._rpn(variables, feature)
+        proposals = propose(cfg, anchors, rpn_out, sizes, training=True)
+        boxes = jax.lax.stop_gradient(proposals.boxes)
+        pooled = pool_rois(cfg, feature, boxes)
+        feats = self.module.apply(variables, pooled, False, method=FasterRCNN.box_feature)
+        return feats, proposals.valid.reshape(-1)
 
     def bn_update(self, variables, images: jnp.ndarray):
         """One AdaBN accumulation step: forward in train mode, return updated
