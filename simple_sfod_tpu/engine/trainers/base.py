@@ -80,12 +80,21 @@ class BaseTrainer:
         self.cfg = cfg
         self.output_dir = cfg.OUTPUT_DIR
         os.makedirs(self.output_dir, exist_ok=True)
-        self.checkpointer = Checkpointer(self.output_dir)
+        self.checkpointer = Checkpointer(self.output_dir, det_cfg=self.det_cfg)
         self.storage = EventStorage()
         self.writers = [
             ConsoleWriter(cfg.SOLVER.MAX_ITER),
             JSONWriter(os.path.join(self.output_dir, "metrics.json")),
         ]
+        # TensorBoard by default like the reference (base.py:266-267);
+        # skipped gracefully when no tensorboard backend is installed
+        try:
+            from ..events import TensorboardWriter
+
+            self.tb_writer = TensorboardWriter(os.path.join(self.output_dir, "tb"))
+            self.writers.append(self.tb_writer)
+        except ImportError:
+            self.tb_writer = None
         self.max_iter = cfg.SOLVER.MAX_ITER
         self.synthetic = synthetic
 
@@ -281,11 +290,14 @@ class BaseTrainer:
         (reference reset_bn_stats, base.py:318-328)."""
         self.state = self.state.replace(batch_stats=reset_bn_tree(self.state.batch_stats))
 
-    def adabn_refinement(self, max_batches: int = 1400, loader=None) -> Dict:
-        """Recompute BN statistics on the (target) train set then evaluate —
-        the reference's `--eval-only` AdaBN workload (train_net_mt.py:82 ->
-        base.py:330-337). The BN update is one jitted function per step."""
-        self.reset_bn_stats()
+    def test_refinement(self, max_batches: int = 1400, loader=None) -> Dict:
+        """BN refinement WITHOUT a statistics reset, then test, then save
+        "adabn" — the reference's `train_net.py --eval-only` workload
+        (train_net.py:79 -> base.py:270-315): up to 1400 train-mode forward
+        passes on the train loader let the BN running statistics drift toward
+        the data, starting FROM the loaded checkpoint's statistics. Only the
+        backbone carries BN here (RPN/box heads are conv/FC-only), so the
+        jitted `bn_update` feature forward is the whole train-mode effect."""
         loader = loader or self.build_train_loader()
         bn_step = jax.jit(
             lambda variables, images: self.detector.bn_update(variables, images)
@@ -298,6 +310,13 @@ class BaseTrainer:
         results = self.test()
         self.checkpointer.save("adabn", self.state)
         return results
+
+    def adabn_refinement(self, max_batches: int = 1400, loader=None) -> Dict:
+        """Reset BN stats, then recompute them on the (target) train set and
+        evaluate — the reference's `train_net_mt.py --eval-only` AdaBN
+        workload (train_net_mt.py:82 -> base.py:330-337)."""
+        self.reset_bn_stats()
+        return self.test_refinement(max_batches=max_batches, loader=loader)
 
 
 def print_per_class_table(res: Dict):

@@ -78,7 +78,9 @@ def main(args, eval_mode: str = "test"):
             # the reference triggers AdaBN through eval-only mode
             # (train_net_mt.py:82 -> base.adabn_refinement)
             return trainer.adabn_refinement()
-        return trainer.test()
+        # reference train_net.py:79: eval-only runs test_refinement (BN
+        # drift WITHOUT reset, then test, then save "adabn")
+        return trainer.test_refinement()
     trainer.train()
     return None
 
