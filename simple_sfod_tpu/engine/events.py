@@ -75,8 +75,16 @@ class ConsoleWriter:
 
 
 class TensorboardWriter:
+    """Scalar/image TensorBoard writer (the reference writes TB by default on
+    rank 0, base.py:266-267). Prefers tensorboardX, falls back to
+    torch.utils.tensorboard; construction raises ImportError when neither is
+    available — callers wire it best-effort."""
+
     def __init__(self, log_dir: str):
-        from tensorboardX import SummaryWriter
+        try:
+            from tensorboardX import SummaryWriter
+        except ImportError:
+            from torch.utils.tensorboard import SummaryWriter
 
         self._w = SummaryWriter(log_dir)
 
@@ -84,6 +92,10 @@ class TensorboardWriter:
         for k, (it, v) in storage.latest().items():
             if it == storage.iter:
                 self._w.add_scalar(k, v, it)
+
+    def add_image(self, tag: str, img_hwc, step: int):
+        """img_hwc: uint8 [H, W, 3] (reference put_image, meta_arch :391)."""
+        self._w.add_image(tag, img_hwc, step, dataformats="HWC")
 
     def close(self):
         self._w.close()

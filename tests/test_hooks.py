@@ -54,3 +54,27 @@ class TestPreciseBN:
         # and differ from mixed batches
         any_diff = jax.tree.map(lambda a, b: float(jnp.abs(a - b).max()), stats, one)
         assert max(jax.tree.leaves(any_diff)) > 1e-6
+
+
+class TestTensorboardWriter:
+    def test_scalars_written(self, tmp_path):
+        """Reference default behavior: TB scalars during training
+        (base.py:266-267). Uses tensorboardX/torch-tb, skipped when absent."""
+        import pytest as _pytest
+
+        from simple_sfod_tpu.engine.events import EventStorage
+
+        try:
+            from simple_sfod_tpu.engine.events import TensorboardWriter
+
+            w = TensorboardWriter(str(tmp_path))
+        except ImportError:
+            _pytest.skip("no tensorboard backend")
+        storage = EventStorage()
+        storage.put_scalar("loss_cls", 0.5)
+        w.write(storage)
+        w.add_image("vis", __import__("numpy").zeros((8, 8, 3), "uint8"), 0)
+        w.close()
+        import glob
+
+        assert glob.glob(str(tmp_path / "events.out.tfevents*"))
