@@ -13,10 +13,14 @@ import orbax.checkpoint as ocp
 
 
 class Checkpointer:
-    def __init__(self, output_dir: str):
+    def __init__(self, output_dir: str, det_cfg: Optional[Any] = None):
         self.dir = os.path.abspath(output_dir)
         os.makedirs(self.dir, exist_ok=True)
         self._ckpt = ocp.PyTreeCheckpointer()
+        # DetectorConfig enabling direct MODEL.WEIGHTS = *.pth/*.pkl loading
+        # (reference detection_ts_checkpointer.py:12-90 consumes torch files
+        # with name-matching heuristics)
+        self.det_cfg = det_cfg
 
     def _path(self, name: str) -> str:
         return os.path.join(self.dir, name)
@@ -45,13 +49,84 @@ class Checkpointer:
 
     def resume_or_load(self, weights_path: str, target: Any, resume: bool) -> Any:
         """resume=True + existing checkpoint: restore the full train state.
-        Otherwise: load weights_path (if given) into params/batch_stats only."""
+        Otherwise: load weights_path (if given) into params/batch_stats only.
+        Torch files (.pth/.pt/.pkl/.pth.tar) are routed through the importer,
+        so a reference YAML's `MODEL.WEIGHTS: .../model.pth` loads directly
+        (reference DetectionTSCheckpointer._load_model behavior)."""
         if resume and self.has_checkpoint():
             return self.load(self.last_checkpoint(), target)
         if weights_path:
+            if _is_torch_file(weights_path):
+                return self._load_torch(weights_path, target)
             loaded = self.load(weights_path)
             return _merge_weights(target, loaded)
         return target
+
+    def _load_torch(self, weights_path: str, target: Any) -> Any:
+        """Import a torch/detectron2 checkpoint into the target train state.
+        Non-strict like the reference's name-matching heuristics: present
+        tensors load, absent ones keep their fresh initialisation. For
+        teacher-student states BOTH copies start from the source checkpoint
+        (reference sfat.py:50-64), with distinct buffers (donation-safe)."""
+        if self.det_cfg is None:
+            raise ValueError(
+                f"MODEL.WEIGHTS={weights_path!r} is a torch file but this "
+                "Checkpointer has no det_cfg; pass DetectorConfig at "
+                "construction or convert via tools/import_weights.py"
+            )
+        from .torch_import import import_torch_checkpoint, load_torch_file
+
+        sd = load_torch_file(weights_path)
+        params, stats = import_torch_checkpoint(sd, self.det_cfg, strict=False)
+        return _merge_torch(target, params, stats)
+
+
+def _is_torch_file(path: str) -> bool:
+    return path.endswith((".pth", ".pt", ".pkl", ".pth.tar"))
+
+
+def _overlay(base: Any, new: Any, copy: bool = False) -> Any:
+    """Recursively replace leaves of `base` with same-named leaves of `new`;
+    keys absent from `new` keep their base values (non-strict import)."""
+    import jax.numpy as jnp
+
+    if isinstance(base, dict):
+        out = dict(base)
+        for k, v in (new or {}).items():
+            if k in out:
+                out[k] = _overlay(out[k], v, copy)
+        return out
+    if new is None:
+        return base
+    arr = jnp.asarray(new)
+    return jnp.array(arr, copy=True) if copy else arr
+
+
+def _merge_torch(target: Any, params: Any, stats: Any) -> Any:
+    """Splice imported (params, batch_stats) into a TrainState or
+    TeacherStudentState pytree."""
+    import dataclasses
+
+    updates = {}
+    tparams = target.params
+    if isinstance(tparams, dict) and "det" in tparams:
+        new_p = dict(tparams)
+        new_p["det"] = _overlay(tparams["det"], params)
+        updates["params"] = new_p
+    else:
+        updates["params"] = _overlay(tparams, params)
+    if hasattr(target, "batch_stats"):
+        updates["batch_stats"] = _overlay(target.batch_stats, stats)
+    if hasattr(target, "teacher_params"):
+        # copy=True: teacher must not alias student buffers (the jitted step
+        # donates the whole state)
+        updates["teacher_params"] = _overlay(target.teacher_params, params, copy=True)
+        updates["teacher_stats"] = _overlay(target.teacher_stats, stats, copy=True)
+    if dataclasses.is_dataclass(target):
+        return dataclasses.replace(target, **updates)
+    out = dict(target)
+    out.update(updates)
+    return out
 
 
 def _merge_weights(target: Any, loaded: Any) -> Any:
