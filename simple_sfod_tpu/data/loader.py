@@ -27,7 +27,7 @@ from .datasets import get_dataset
 
 
 class ArrayBatch(dict):
-    """Plain dict batch: images [B,H,W,3] f32, sizes [B,2] i32, scale [B] f32,
+    """Plain dict batch: images [B,H,W,3] f32, sizes [B,2] i32, scale [B,2] f32 (sx,sy),
     gt_boxes [B,N,4] f32, gt_classes [B,N] i32, gt_valid [B,N] bool,
     image_ids [B] i64 (host-side metadata, not shipped to device)."""
 
@@ -43,19 +43,37 @@ def _load_image(path: str, fmt: str = "BGR") -> np.ndarray:
     return arr
 
 
+def d2_output_shape(h: int, w: int, min_size: int, max_size: int) -> Tuple[int, int]:
+    """detectron2 ResizeShortestEdge.get_output_shape, bit-exact: the shorter
+    edge is pinned to min_size (unless the max_size cap kicks in) and final
+    dims round half-UP via int(x + 0.5) — NOT Python round()'s half-even."""
+    size = float(min_size)
+    scale = size / min(h, w)
+    if h < w:
+        newh, neww = size, scale * w
+    else:
+        newh, neww = scale * h, size
+    if max(newh, neww) > max_size:
+        s = max_size / max(newh, neww)
+        newh, neww = newh * s, neww * s
+    return int(newh + 0.5), int(neww + 0.5)
+
+
 def _resize_shortest_edge(
     img: np.ndarray, min_size: int, max_size: int
-) -> Tuple[np.ndarray, float]:
+) -> Tuple[np.ndarray, np.ndarray]:
+    """PIL BILINEAR shortest-edge resize, parity with detectron2's
+    ResizeTransform (PIL resize on uint8; boxes map by per-axis factors
+    neww/w, newh/h). Returns (image, scale_xy [2] float32)."""
     from PIL import Image
 
     h, w = img.shape[:2]
-    scale = min(min_size / min(h, w), max_size / max(h, w))
-    nh, nw = round(h * scale), round(w * scale)
+    nh, nw = d2_output_shape(h, w, min_size, max_size)
     if (nh, nw) == (h, w):
-        return img, 1.0
+        return img, np.ones((2,), np.float32)
     pil = Image.fromarray(img.astype(np.uint8))
     out = np.asarray(pil.resize((nw, nh), Image.BILINEAR), dtype=np.float32)
-    return out, scale
+    return out, np.asarray([nw / w, nh / h], np.float32)
 
 
 class DetectionLoader:
@@ -111,7 +129,7 @@ class DetectionLoader:
         # uint8 canvas: 4x less host->device traffic; trainers cast on device
         images = np.zeros((b, ch, cw, 3), np.uint8)
         sizes = np.zeros((b, 2), np.int32)
-        scales = np.zeros((b,), np.float32)
+        scales = np.ones((b, 2), np.float32)  # (sx, sy) per image
         gt_boxes = np.zeros((b, n, 4), np.float32)
         gt_classes = np.zeros((b, n), np.int32)
         gt_valid = np.zeros((b, n), bool)
@@ -130,7 +148,9 @@ class DetectionLoader:
             image_ids[i] = rec["image_id"]
             heights[i] = rec["height"]
             widths[i] = rec["width"]
-            boxes = np.asarray(rec["boxes"], np.float32).reshape(-1, 4) * scale
+            boxes = np.asarray(rec["boxes"], np.float32).reshape(-1, 4) * np.concatenate(
+                [scale, scale]
+            )
             classes = np.asarray(rec["classes"], np.int32)
             k = min(len(boxes), n)
             if len(boxes) > n:

@@ -30,20 +30,25 @@ def resize_to_canvas(
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Shortest-edge resize onto a fixed canvas (static shapes).
 
-    Returns (canvas [Hc, Wc, 3], new_size [2] int32, scale float). Matches
-    detectron2's ResizeShortestEdge: scale = min_size/shorter, capped so the
-    longer side <= max_size; the resized image is placed top-left on a zero
-    canvas.
+    Returns (canvas [Hc, Wc, 3], new_size [2] int32, scale_xy [2] float32).
+    New dims follow detectron2's ResizeShortestEdge.get_output_shape exactly
+    (shorter edge pinned to min_size, longer capped at max_size, int(x+0.5)
+    rounding); the resized image is placed top-left on a zero canvas.
     """
+    from .loader import d2_output_shape
+
     h, w = image.shape[0], image.shape[1]
-    scale = min(min_size / min(h, w), max_size / max(h, w))
-    nh, nw = round(h * scale), round(w * scale)
+    nh, nw = d2_output_shape(h, w, min_size, max_size)
     ch, cw = canvas_hw
     nh, nw = min(nh, ch), min(nw, cw)
     resized = jax.image.resize(image, (nh, nw, image.shape[2]), method="bilinear")
     canvas = jnp.zeros((ch, cw, image.shape[2]), image.dtype)
     canvas = jax.lax.dynamic_update_slice(canvas, resized, (0, 0, 0))
-    return canvas, jnp.asarray([nh, nw], jnp.int32), jnp.asarray(scale, jnp.float32)
+    return (
+        canvas,
+        jnp.asarray([nh, nw], jnp.int32),
+        jnp.asarray([nw / w, nh / h], jnp.float32),
+    )
 
 
 def hflip(image: jnp.ndarray, boxes: jnp.ndarray, true_wh: jnp.ndarray):

@@ -54,12 +54,17 @@ def inference_on_dataset(
                 continue
             seen.add(img_id)
             keep = valid[i]
-            file_boxes = boxes[i][keep] / max(float(batch["scale"][i]), 1e-8)
+            # per-axis un-scaling (detectron2 ResizeTransform.apply_coords)
+            s = np.asarray(batch["scale"][i], np.float32).reshape(-1)
+            if s.size == 1:
+                s = np.asarray([s[0], s[0]], np.float32)
+            inv = 1.0 / np.maximum(np.concatenate([s, s]), 1e-8)
+            file_boxes = boxes[i][keep] * inv
             # clip to original image bounds
             h, w = float(batch["heights"][i]), float(batch["widths"][i])
             file_boxes = np.clip(file_boxes, 0, [w, h, w, h])
             gt_keep = batch["gt_valid"][i]
-            gt_boxes = batch["gt_boxes"][i][gt_keep] / max(float(batch["scale"][i]), 1e-8)
+            gt_boxes = batch["gt_boxes"][i][gt_keep] * inv
             if dump is not None:
                 for b, s, c in zip(file_boxes, scores[i][keep], classes[i][keep]):
                     cat = category_ids.get(int(c), int(c) + 1) if category_ids else int(c) + 1

@@ -32,7 +32,7 @@ class TestLoaderGeometry:
         batch = next(iter(loader))
         assert batch["images"].shape == (1, 64, 128, 3)
         assert batch["images"].dtype == np.uint8
-        np.testing.assert_allclose(batch["scale"], [0.5])
+        np.testing.assert_allclose(batch["scale"], [[0.5, 0.5]])
         assert batch["sizes"][0].tolist() == [50, 100]
         np.testing.assert_allclose(batch["gt_boxes"][0, 0], [15, 5, 25, 10])
         assert batch["gt_valid"][0, 0]
@@ -78,3 +78,38 @@ class TestSupPercent:
         assert ids == set(range(10))
         lab3, _ = divide_label_unlabel(recs, 30.0, random_seed=1)
         assert lab3 != lab1  # seed changes the split
+
+
+class TestResizeParityD2:
+    """Bit-parity of the host resize with detectron2's ResizeShortestEdge
+    (VERDICT r1 next-round #2c): identical output dims (int(x+0.5) rounding,
+    shortest edge pinned) and identical PIL BILINEAR pixels."""
+
+    def test_output_shape_rounds_half_up(self):
+        from simple_sfod_tpu.data.loader import d2_output_shape
+
+        # scale = 250/200 = 1.25; 402 * 1.25 = 502.5 -> d2 rounds UP to 503
+        # (Python round() half-even would give 502)
+        assert d2_output_shape(200, 402, 250, 1333) == (250, 503)
+        assert round(402 * 1.25) == 502  # the divergence this guards against
+        # cityscapes 1024x2048 -> cap at max_size 1333: 2048*600/1024=1200 ok
+        assert d2_output_shape(1024, 2048, 600, 1333) == (600, 1200)
+        # max_size cap engages: 500x2000, min 600 -> w=2400 > 1333
+        h, w = d2_output_shape(500, 2000, 600, 1333)
+        assert w == 1333 and h == int(500 * (1333 / 2000) + 0.5)
+
+    def test_pixels_match_pil_reference(self):
+        from PIL import Image
+
+        from simple_sfod_tpu.data.loader import _resize_shortest_edge, d2_output_shape
+
+        rs = np.random.RandomState(0)
+        img = rs.randint(0, 255, (101, 217, 3)).astype(np.float32)
+        out, scale = _resize_shortest_edge(img, 60, 1333)
+        nh, nw = d2_output_shape(101, 217, 60, 1333)
+        want = np.asarray(
+            Image.fromarray(img.astype(np.uint8)).resize((nw, nh), Image.BILINEAR),
+            np.float32,
+        )
+        np.testing.assert_array_equal(out, want)
+        np.testing.assert_allclose(scale, [nw / 217, nh / 101])

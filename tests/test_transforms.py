@@ -15,7 +15,7 @@ class TestGeometry:
         canvas, size, scale = T.resize_to_canvas(img, (64, 128), 60)
         assert canvas.shape == (64, 128, 3)
         assert size.tolist() == [60, 120]
-        np.testing.assert_allclose(float(scale), 0.6)
+        np.testing.assert_allclose(np.asarray(scale), [0.6, 0.6])
         # valid region filled, padding zero
         assert float(canvas[:60, :120].min()) > 0
         assert float(canvas[:, 120:].max()) == 0.0
