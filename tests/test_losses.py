@@ -79,3 +79,51 @@ class TestTCD:
         pred = make_inst([[0, 0, 5, 5]] * 4, [0.9] * 4, [0, 0, 0, 1])
         target = jnp.asarray([0.5, 0.5])
         assert float(tcd_loss(batched(pred), target)) == pytest.approx(0.5, abs=1e-6)
+
+
+class TestBPCCandidates:
+    """The BPC input must match the reference's convert_bbox_scores
+    semantics (source_free_fast_rcnn.py:121 `scores > 0` i.e. no filtering,
+    NMS commented out :132-138): every (sampled proposal, fg class) pair is
+    one candidate — cardinality S*C — with softmax probability scores."""
+
+    def test_cardinality_and_semantics(self):
+        import jax
+
+        from simple_sfod_tpu.models.faster_rcnn import (
+            DetectorConfig,
+            SampledProposals,
+            bpc_candidates,
+        )
+
+        cfg = DetectorConfig(num_classes=3)
+        b, s, c = 2, 4, 3
+        rs = np.random.RandomState(0)
+        scores = jnp.asarray(rs.randn(b * s, c + 1).astype(np.float32))
+        deltas = jnp.asarray(0.01 * rs.randn(b * s, 4 * c).astype(np.float32))
+        boxes = jnp.tile(jnp.asarray([[10.0, 10.0, 30.0, 30.0]]), (b, s, 1)).reshape(b, s, 4)
+        valid = jnp.asarray([[True, True, True, False], [True, False, True, True]])
+        sampled = SampledProposals(
+            boxes=boxes,
+            gt_classes=jnp.zeros((b, s), jnp.int32),
+            reg_targets=jnp.zeros((b, s, 4)),
+            is_fg=valid,
+            valid=valid,
+        )
+        sizes = jnp.asarray([[64, 128], [64, 128]], jnp.int32)
+        cand = bpc_candidates(cfg, scores, deltas, sampled, sizes)
+        # cardinality: S*C per image, background dropped
+        assert cand.boxes.shape == (b, s * c, 4)
+        assert cand.scores.shape == (b, s * c)
+        # scores are the softmax probs with background dropped — NO filtering
+        probs = np.asarray(jax.nn.softmax(scores, axis=-1))[:, :-1].reshape(b, s * c)
+        np.testing.assert_allclose(np.asarray(cand.scores), probs, rtol=1e-6)
+        # classes cycle 0..C-1 per proposal
+        assert np.asarray(cand.classes)[0, :c].tolist() == list(range(c))
+        # validity repeats the proposal's validity over its C candidates
+        want_valid = np.repeat(np.asarray(valid), c, axis=-1).reshape(b, s * c)
+        np.testing.assert_array_equal(np.asarray(cand.valid), want_valid)
+        # boxes stay inside the image (reference clips before flattening)
+        bx = np.asarray(cand.boxes)
+        assert bx[..., 0].min() >= 0 and bx[..., 2].max() <= 128
+        assert bx[..., 1].min() >= 0 and bx[..., 3].max() <= 64
