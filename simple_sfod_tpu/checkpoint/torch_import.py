@@ -169,6 +169,14 @@ _TV_VGG16_CONVS = [0, 2, 5, 7, 10, 12, 14, 17, 19, 21, 24, 26, 28]
 # indices for the BN layout (conv,bn,relu triplets + trailing pool)
 _D2_STAGE_CONVS_BN = [(0, 3), (0, 3), (0, 3, 6), (0, 3, 6), (0, 3, 6)]
 _D2_STAGE_BNS_BN = [(1, 4), (1, 4), (1, 4, 7), (1, 4, 7), (1, 4, 7)]
+# Without BN the reference's FIXED slice boundaries (meta_arch/vgg.py:70-74,
+# tuned for the 3-modules-per-conv BN layout) re-partition the 31-module
+# sequence so pools land mid-stage and stage 4 is EMPTY: stage0 = 2 convs +
+# pool + 1 conv, ..., stage3 ends the net, stage4 = identity. The COMPOSED
+# network is still canonical VGG16 (13 convs, pools after convs 2/4/7/10/13),
+# so our canonical-stage backbone computes the identical "vgg4" feature —
+# only the checkpoint's per-stage conv indices shift:
+_D2_STAGE_CONVS_NOBN = [(0, 2, 5), (0, 3, 5), (0, 3, 5, 7), (0, 2, 4), ()]
 
 
 def import_torchvision_vgg(
@@ -219,7 +227,8 @@ def import_torch_checkpoint(
     if detector_cfg.backbone == "vgg16":
         bn = detector_cfg.vgg_bn
         conv_i = 0
-        for stage, conv_idxs in enumerate(_D2_STAGE_CONVS_BN):
+        stage_convs = _D2_STAGE_CONVS_BN if bn else _D2_STAGE_CONVS_NOBN
+        for stage, conv_idxs in enumerate(stage_convs):
             for j, idx in enumerate(conv_idxs):
                 key = f"backbone.vgg{stage}.{idx}"
                 if f"{key}.weight" not in sd:

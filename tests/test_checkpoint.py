@@ -208,3 +208,68 @@ class TestTorchWeightsRouting:
         np.testing.assert_allclose(np.asarray(s_leaf), np.asarray(t_leaf))
         # distinct device buffers (donation-safety)
         assert s_leaf.unsafe_buffer_pointer() != t_leaf.unsafe_buffer_pointer()
+
+
+class TestNoBNImportFidelity:
+    """Reference nobn topology check (VERDICT r1 next-round #10): the fixed
+    stage slices (reference meta_arch/vgg.py:70-74) re-partition the nobn
+    module sequence (pools mid-stage, empty stage 4) but COMPOSE to canonical
+    VGG16 — so our canonical backbone + the nobn key mapping must reproduce
+    the reference's actual forward bit-for-bit."""
+
+    def test_nobn_d2_checkpoint_forward_parity(self):
+        torch = pytest.importorskip("torch")
+        import torch.nn as tnn
+
+        # the reference's make_layers(vgg16, batch_norm=False) sequence
+        widths = [64, 64, "M", 128, 128, "M", 256, 256, 256, "M",
+                  512, 512, 512, "M", 512, 512, 512, "M"]
+        layers = []
+        in_c = 3
+        for v in widths:
+            if v == "M":
+                layers.append(tnn.MaxPool2d(2, 2))
+            else:
+                layers += [tnn.Conv2d(in_c, v, 3, padding=1), tnn.ReLU()]
+                in_c = v
+        seq = layers
+        # the reference's fixed slice boundaries (meta_arch/vgg.py:70-74)
+        stages = [tnn.Sequential(*seq[0:7]), tnn.Sequential(*seq[7:14]),
+                  tnn.Sequential(*seq[14:24]), tnn.Sequential(*seq[24:34]),
+                  tnn.Sequential(*seq[34:])]
+        rs = np.random.RandomState(7)
+        for m in [m for s in stages for m in s if isinstance(m, tnn.Conv2d)]:
+            m.weight.data = torch.from_numpy(
+                (0.05 * rs.randn(*m.weight.shape)).astype(np.float32))
+            m.bias.data = torch.from_numpy((0.1 * rs.randn(*m.bias.shape)).astype(np.float32))
+        # d2-named state dict exactly as the reference checkpoints name it
+        sd = {}
+        for si, stage in enumerate(stages):
+            for name, tensor in stage.state_dict().items():
+                sd[f"backbone.vgg{si}.{name}"] = tensor.numpy()
+        assert len(sd) == 26  # 13 convs x (weight, bias)
+
+        from simple_sfod_tpu.config import detector_config_from_cfg, get_cfg
+
+        cfg = get_cfg()
+        cfg.MODEL.BACKBONE.NAME = "build_vgg_backbone"
+        cfg.VGG.BN = False
+        cfg.MODEL.ROI_HEADS.IN_FEATURES = ("vgg4",)
+        det_cfg = detector_config_from_cfg(cfg)
+        params, stats = import_torch_checkpoint(sd, det_cfg, strict=False)
+
+        x = np.random.RandomState(8).randn(1, 3, 32, 64).astype(np.float32)
+        with torch.no_grad():
+            t = torch.from_numpy(x)
+            for stage in stages:
+                t = stage(t)  # empty stage 4 is identity
+            want = t.numpy()
+
+        from simple_sfod_tpu.models.backbones.vgg import VGG16Backbone
+
+        backbone = VGG16Backbone(bn=False)
+        feats = backbone.apply(
+            {"params": params["backbone"]}, jnp.asarray(x.transpose(0, 2, 3, 1)), train=False
+        )
+        got = np.asarray(feats["vgg4"]).transpose(0, 3, 1, 2)
+        np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-2)
