@@ -3,7 +3,9 @@
 // The reference depends on detectron2's COCOeval_opt C++ extension for its
 // evaluators (SURVEY §2.2); this is an independent implementation of the
 // COCO metric from its definition: greedy per-(image,category) matching at
-// IoU .50:.05:.95, 101-point interpolated precision, area ranges, maxDets.
+// IoU .50:.05:.95, 101-point interpolated precision, area ranges with the
+// full IGNORE semantics (out-of-range GT absorb detections instead of being
+// dropped; unmatched out-of-range detections are ignored), maxDets.
 //
 // Exposed entry point:
 //   coco_evaluate(dets..., gts..., num_classes, max_dets, out)
@@ -49,46 +51,76 @@ struct Det {
 
 // results of matching one (image, category, area-range): per-threshold flags
 struct ImgResult {
-  std::vector<double> scores;            // [D]
-  std::vector<uint8_t> matched;          // [kNumThr * D]
-  int n_gt = 0;
+  std::vector<double> scores;    // [D]
+  std::vector<uint8_t> matched;  // [kNumThr * D]
+  std::vector<uint8_t> ignored;  // [kNumThr * D]
+  int npig = 0;                  // non-ignored GT count
 };
 
-ImgResult MatchImage(std::vector<Det> dets, const std::vector<Box>& gts,
-                     int max_dets) {
+ImgResult MatchImage(std::vector<Det> dets, const std::vector<Box>& gts_in,
+                     double lo, double hi, int max_dets) {
   std::stable_sort(dets.begin(), dets.end(),
                    [](const Det& a, const Det& b) { return a.score > b.score; });
   if ((int)dets.size() > max_dets) dets.resize(max_dets);
-  const int d = dets.size(), g = gts.size();
+  const int d = dets.size();
+
+  // ignore flags; non-ignored GT first (stable), like COCOeval's gtind sort
+  std::vector<Box> gts;
+  std::vector<uint8_t> gig;
+  gts.reserve(gts_in.size());
+  for (const auto& b : gts_in)
+    if (b.area() >= lo && b.area() < hi) {
+      gts.push_back(b);
+      gig.push_back(0);
+    }
+  int npig = gts.size();
+  for (const auto& b : gts_in)
+    if (!(b.area() >= lo && b.area() < hi)) {
+      gts.push_back(b);
+      gig.push_back(1);
+    }
+  const int g = gts.size();
+
   ImgResult r;
-  r.n_gt = g;
+  r.npig = npig;
   r.scores.resize(d);
   r.matched.assign(kNumThr * d, 0);
+  r.ignored.assign(kNumThr * d, 0);
   for (int i = 0; i < d; ++i) r.scores[i] = dets[i].score;
-  if (!d || !g) return r;
+  if (d && g) {
+    std::vector<double> iou(d * g);
+    for (int i = 0; i < d; ++i)
+      for (int j = 0; j < g; ++j) iou[i * g + j] = IoU(dets[i].box, gts[j]);
 
-  std::vector<double> iou(d * g);
-  for (int i = 0; i < d; ++i)
-    for (int j = 0; j < g; ++j) iou[i * g + j] = IoU(dets[i].box, gts[j]);
-
-  for (int t = 0; t < kNumThr; ++t) {
-    const double thr = 0.5 + 0.05 * t;
-    std::vector<uint8_t> taken(g, 0);
-    for (int i = 0; i < d; ++i) {
-      int best = -1;
-      double best_iou = thr - 1e-10;
-      for (int j = 0; j < g; ++j) {
-        if (taken[j]) continue;
-        if (iou[i * g + j] > best_iou) {
-          best = j;
-          best_iou = iou[i * g + j];
+    for (int t = 0; t < kNumThr; ++t) {
+      const double thr = 0.5 + 0.05 * t;
+      std::vector<uint8_t> taken(g, 0);
+      for (int i = 0; i < d; ++i) {
+        int best = -1;
+        double best_iou = thr - 1e-10;
+        for (int j = 0; j < g; ++j) {
+          if (taken[j]) continue;
+          // holding a non-ignored match and reaching ignored GT: stop
+          if (best >= 0 && !gig[best] && gig[j]) break;
+          if (iou[i * g + j] > best_iou) {
+            best = j;
+            best_iou = iou[i * g + j];
+          }
+        }
+        if (best >= 0) {
+          taken[best] = 1;
+          r.matched[t * d + i] = 1;
+          r.ignored[t * d + i] = gig[best];
         }
       }
-      if (best >= 0) {
-        taken[best] = 1;
-        r.matched[t * d + i] = 1;
-      }
     }
+  }
+  // unmatched detections outside the area range are ignored
+  for (int i = 0; i < d; ++i) {
+    const double a = dets[i].box.area();
+    if (a >= lo && a < hi) continue;
+    for (int t = 0; t < kNumThr; ++t)
+      if (!r.matched[t * d + i]) r.ignored[t * d + i] = 1;
   }
   return r;
 }
@@ -96,14 +128,14 @@ ImgResult MatchImage(std::vector<Det> dets, const std::vector<Box>& gts,
 // Accumulate one (category, area) curve over images -> AP per threshold.
 void ApCurve(const std::vector<ImgResult>& imgs, double* ap_out /*[kNumThr]*/,
              double* ar_out /*nullable, recall@maxDets averaged over thr*/) {
-  int64_t n_gt = 0, total_d = 0;
+  int64_t npig = 0, total_d = 0;
   for (const auto& r : imgs) {
-    n_gt += r.n_gt;
+    npig += r.npig;
     total_d += r.scores.size();
   }
   for (int t = 0; t < kNumThr; ++t) ap_out[t] = -1.0;  // sentinel: no GT
   if (ar_out) *ar_out = -1.0;
-  if (n_gt == 0) return;
+  if (npig == 0) return;
   if (total_d == 0) {
     for (int t = 0; t < kNumThr; ++t) ap_out[t] = 0.0;
     if (ar_out) *ar_out = 0.0;
@@ -111,12 +143,6 @@ void ApCurve(const std::vector<ImgResult>& imgs, double* ap_out /*[kNumThr]*/,
   }
 
   // merge detections across images, sort by score desc
-  struct Entry {
-    double score;
-    const uint8_t* matched;  // [kNumThr] strided view base (t*d + i)
-    int d_stride;            // = d of its image
-    int idx;
-  };
   std::vector<std::pair<double, std::pair<int, int>>> order;  // score, (img, i)
   order.reserve(total_d);
   for (int im = 0; im < (int)imgs.size(); ++im)
@@ -127,21 +153,24 @@ void ApCurve(const std::vector<ImgResult>& imgs, double* ap_out /*[kNumThr]*/,
 
   double recall_sum = 0.0;
   for (int t = 0; t < kNumThr; ++t) {
-    std::vector<double> prec(total_d), rec(total_d);
+    std::vector<double> prec, rec;
+    prec.reserve(total_d);
+    rec.reserve(total_d);
     int64_t tp = 0, fp = 0;
     for (int64_t k = 0; k < total_d; ++k) {
       const auto& e = order[k].second;
       const auto& img = imgs[e.first];
       const int d = img.scores.size();
+      if (img.ignored[t * d + e.second]) continue;  // ignored: neither TP nor FP
       if (img.matched[t * d + e.second])
         ++tp;
       else
         ++fp;
-      prec[k] = double(tp) / double(tp + fp);
-      rec[k] = double(tp) / double(n_gt);
+      prec.push_back(double(tp) / double(tp + fp));
+      rec.push_back(double(tp) / double(npig));
     }
     // envelope
-    for (int64_t k = total_d - 2; k >= 0; --k)
+    for (int64_t k = (int64_t)prec.size() - 2; k >= 0; --k)
       prec[k] = std::max(prec[k], prec[k + 1]);
     // 101-point interpolation
     double ap = 0.0;
@@ -207,20 +236,9 @@ int coco_evaluate(const int64_t* det_img, const int32_t* det_cat,
     for (int a = 0; a < kNumAreas; ++a) {
       std::vector<ImgResult> results;
       results.reserve(n_img);
-      for (int im = 0; im < n_img; ++im) {
-        std::vector<Box> g;
-        for (const auto& b : gts[c][im])
-          if (b.area() >= kAreaLo[a] && b.area() < kAreaHi[a]) g.push_back(b);
-        std::vector<Det> d;
-        if (a == 0) {
-          d = dets[c][im];
-        } else {
-          for (const auto& dd : dets[c][im])
-            if (dd.box.area() >= kAreaLo[a] && dd.box.area() < kAreaHi[a])
-              d.push_back(dd);
-        }
-        results.push_back(MatchImage(std::move(d), g, max_dets));
-      }
+      for (int im = 0; im < n_img; ++im)
+        results.push_back(
+            MatchImage(dets[c][im], gts[c][im], kAreaLo[a], kAreaHi[a], max_dets));
       double ar = -1.0;
       ApCurve(results, out + c * block + a * kNumThr, a == 0 ? &ar : nullptr);
       if (a == 0) out[c * block + kNumAreas * kNumThr] = ar;

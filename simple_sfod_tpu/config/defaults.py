@@ -52,10 +52,14 @@ def get_cfg() -> CfgNode:
     c.MODEL.RPN.NMS_THRESH = 0.7
     c.MODEL.RPN.BATCH_SIZE_PER_IMAGE = 256
     c.MODEL.RPN.POSITIVE_FRACTION = 0.5
-    c.MODEL.RPN.PRE_NMS_TOPK_TRAIN = 2048
-    c.MODEL.RPN.PRE_NMS_TOPK_TEST = 2048
-    c.MODEL.RPN.POST_NMS_TOPK_TRAIN = 1024
-    c.MODEL.RPN.POST_NMS_TOPK_TEST = 512
+    # detectron2's defaults; detector_config_from_cfg clamps pre-NMS to 4096
+    # and post-NMS to 2048/1024 for the matrix-NMS budget (measured cost on
+    # dense synthetic scenes: 4096 pre matches 6144 pre to 0.000 recall@0.5,
+    # and +0.028 over 2048 — tools/measure_rpn_caps.py, PARITY_EVIDENCE.md)
+    c.MODEL.RPN.PRE_NMS_TOPK_TRAIN = 12000
+    c.MODEL.RPN.PRE_NMS_TOPK_TEST = 6000
+    c.MODEL.RPN.POST_NMS_TOPK_TRAIN = 2000
+    c.MODEL.RPN.POST_NMS_TOPK_TEST = 1000
     c.MODEL.RPN.LOSS_WEIGHT = 1.0
     c.MODEL.RPN.SMOOTH_L1_BETA = 0.0
     c.MODEL.RPN.UNSUP_LOSS_WEIGHT = 1.0

@@ -42,20 +42,36 @@ def _match_image(
     det_boxes: np.ndarray,
     det_scores: np.ndarray,
     gt_boxes: np.ndarray,
+    amin: float,
+    amax: float,
     max_dets: int,
 ):
-    """Greedy matching for one (image, category) at all IoU thresholds.
+    """Greedy matching for one (image, category, area range) at all IoU
+    thresholds, with COCOeval's ignore semantics: GT outside the area range
+    are IGNORED (they can still absorb detections, which then count neither
+    as TP nor FP), and unmatched detections outside the range are ignored
+    too. Matching prefers non-ignored GT (ignored GT sort last and the scan
+    stops there once a non-ignored match is held).
 
-    Returns (det_matched [T, D] bool, det_scores_sorted [D], gt_count int).
-    Matching follows COCOeval: detections in score order each claim the
-    unmatched GT with highest IoU >= threshold.
+    Returns (det_scores_sorted [D], matched [T, D], ignored [T, D], npig).
     """
     order = np.argsort(-det_scores, kind="stable")[:max_dets]
     det_boxes = det_boxes[order]
     det_scores = det_scores[order]
     d, g = len(det_boxes), len(gt_boxes)
     t = len(IOU_THRS)
+
+    g_areas = (
+        (gt_boxes[:, 2] - gt_boxes[:, 0]) * (gt_boxes[:, 3] - gt_boxes[:, 1])
+        if g
+        else np.zeros(0)
+    )
+    gt_ig = ~((g_areas >= amin) & (g_areas < amax))
+    gind = np.argsort(gt_ig, kind="stable")  # non-ignored first
+    gt_boxes, gt_ig = gt_boxes[gind], gt_ig[gind]
+
     matched = np.zeros((t, d), bool)
+    ignored = np.zeros((t, d), bool)
     if d and g:
         ious = _iou(det_boxes, gt_boxes)
         for ti, thr in enumerate(IOU_THRS):
@@ -65,12 +81,19 @@ def _match_image(
                 for gi in range(g):
                     if gt_taken[gi]:
                         continue
+                    if best >= 0 and not gt_ig[best] and gt_ig[gi]:
+                        break
                     if ious[di, gi] > best_iou:
                         best, best_iou = gi, ious[di, gi]
                 if best >= 0:
                     gt_taken[best] = True
                     matched[ti, di] = True
-    return matched, det_scores, g
+                    ignored[ti, di] = gt_ig[best]
+    if d:
+        d_areas = (det_boxes[:, 2] - det_boxes[:, 0]) * (det_boxes[:, 3] - det_boxes[:, 1])
+        d_out = ~((d_areas >= amin) & (d_areas < amax))
+        ignored |= (~matched) & d_out[None, :]
+    return det_scores, matched, ignored, int((~gt_ig).sum())
 
 
 def coco_map(
@@ -97,31 +120,23 @@ def coco_map(
 
     for area_name, (amin, amax) in AREA_RANGES.items():
         for c in range(num_classes):
-            all_scores, all_matched, n_gt = [], [], 0
+            all_scores, all_matched, all_ignored, npig = [], [], [], 0
             for img_id in image_ids:
                 gt = ground_truth[img_id]
                 gsel = np.asarray(gt["classes"]) == c
                 gboxes = np.asarray(gt["boxes"], np.float64).reshape(-1, 4)[gsel]
-                # area filtering: out-of-range GT are "ignored": they can
-                # still absorb detections in pycocotools; for the detector
-                # regime this repo targets (no crowds, generous capacities)
-                # we follow the simpler filter-first convention.
-                if len(gboxes):
-                    areas = (gboxes[:, 2] - gboxes[:, 0]) * (gboxes[:, 3] - gboxes[:, 1])
-                    gboxes = gboxes[(areas >= amin) & (areas < amax)]
                 det = detections.get(img_id, {"boxes": [], "scores": [], "classes": []})
                 dsel = np.asarray(det["classes"]) == c
                 dboxes = np.asarray(det["boxes"], np.float64).reshape(-1, 4)[dsel]
                 dscores = np.asarray(det["scores"], np.float64)[dsel]
-                if area_name != "all" and len(dboxes):
-                    dareas = (dboxes[:, 2] - dboxes[:, 0]) * (dboxes[:, 3] - dboxes[:, 1])
-                    keep = (dareas >= amin) & (dareas < amax)
-                    dboxes, dscores = dboxes[keep], dscores[keep]
-                matched, sscores, g = _match_image(dboxes, dscores, gboxes, max_dets)
+                sscores, matched, ignored, g = _match_image(
+                    dboxes, dscores, gboxes, amin, amax, max_dets
+                )
                 all_scores.append(sscores)
                 all_matched.append(matched)
-                n_gt += g
-            if n_gt == 0:
+                all_ignored.append(ignored)
+                npig += g
+            if npig == 0:
                 continue
             scores = np.concatenate(all_scores) if all_scores else np.zeros(0)
             if scores.size == 0:  # GT exists but no detections: AP = 0
@@ -133,16 +148,13 @@ def coco_map(
                 else:
                     area_ap[area_name].append(0.0)
                 continue
-            matched = (
-                np.concatenate(all_matched, axis=1)
-                if all_matched
-                else np.zeros((t, 0), bool)
-            )
+            matched = np.concatenate(all_matched, axis=1)
+            ignored = np.concatenate(all_ignored, axis=1)
             order = np.argsort(-scores, kind="stable")
-            matched = matched[:, order]
-            tp = np.cumsum(matched, axis=1)
-            fp = np.cumsum(~matched, axis=1)
-            recall = tp / n_gt
+            matched, ignored = matched[:, order], ignored[:, order]
+            tp = np.cumsum(matched & ~ignored, axis=1).astype(np.float64)
+            fp = np.cumsum(~matched & ~ignored, axis=1).astype(np.float64)
+            recall = tp / npig
             precision = tp / np.maximum(tp + fp, 1e-12)
             # precision envelope + 101-point interpolation
             ap_t = np.zeros(t)

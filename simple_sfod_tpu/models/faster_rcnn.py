@@ -57,11 +57,14 @@ class DetectorConfig:
     # anchors
     anchor_sizes: Tuple[float, ...] = (32, 64, 128, 256, 512)
     anchor_ratios: Tuple[float, ...] = (0.5, 1.0, 2.0)
-    # rpn
-    rpn_pre_nms_topk_train: int = 2048  # d2: 12000; capped for TPU memory, see propose()
-    rpn_post_nms_topk_train: int = 1024  # d2: 2000
-    rpn_pre_nms_topk_test: int = 2048  # d2: 6000
-    rpn_post_nms_topk_test: int = 512  # d2: 1000
+    # rpn — d2 defaults as lowered through the clamps in
+    # config/defaults.py (d2: 12000/2000 train, 6000/1000 test); measured
+    # recall cost of the 4096 clamp vs 6144 on dense scenes: none
+    # (tools/measure_rpn_caps.py)
+    rpn_pre_nms_topk_train: int = 4096
+    rpn_post_nms_topk_train: int = 2000
+    rpn_pre_nms_topk_test: int = 4096
+    rpn_post_nms_topk_test: int = 1000
     rpn_nms_thresh: float = 0.7
     rpn_batch_size_per_image: int = 256
     rpn_positive_fraction: float = 0.5
