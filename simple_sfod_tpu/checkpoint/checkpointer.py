@@ -98,7 +98,9 @@ def _overlay(base: Any, new: Any, copy: bool = False) -> Any:
         return out
     if new is None:
         return base
-    arr = jnp.asarray(new)
+    # preserve the target leaf's dtype (e.g. a bf16 fixed-teacher tree)
+    dtype = getattr(base, "dtype", None)
+    arr = jnp.asarray(new, dtype=dtype)
     return jnp.array(arr, copy=True) if copy else arr
 
 

@@ -112,28 +112,30 @@ class AdaptiveTeacherTrainer(SourceFreeAdaptiveTeacherTrainer):
 
             def loss_fn(params):
                 variables = {"params": params["det"], "batch_stats": state.batch_stats}
-                sup_total, sup_metrics, new_stats = det.supervised_losses(
-                    variables, DetectionBatch(src_images, src_sizes, src_gt), k_sup
+                # ONE backbone pass per view; the DC heads reuse these
+                # features instead of running their own passes (same
+                # restructure as the SFAT step, BENCH_NOTES round-2 leads)
+                feat_src, mutated = det._features(variables, src_images, True, mutable=True)
+                new_stats = mutated.get("batch_stats", {})
+                sup_total, sup_metrics = det.losses_from_feature(
+                    variables, feat_src, DetectionBatch(src_images, src_sizes, src_gt), k_sup
                 )
-                unsup_total, unsup_metrics, _ = det.supervised_losses(
+                feat_tgt_s, _ = det._features(variables, tgt_strong, True, mutable=True)
+                unsup_total, unsup_metrics = det.losses_from_feature(
                     variables,
+                    feat_tgt_s,
                     DetectionBatch(tgt_strong, tgt_sizes, pseudo_gt),
                     k_unsup,
-                    update_bn=False,
                 )
                 metrics = dict(sup_metrics)
                 metrics.update({f"{k}_pseudo": v for k, v in unsup_metrics.items()})
                 unsup_gate = jnp.where(in_burn_up, 0.0, 1.0)
                 total = sup_w * sup_total + unsup_gate * unsup_w * unsup_total
+                if dc_enabled or ins_dc_enabled:
+                    feat_tw, _ = det._features(variables, tgt_weak, True, mutable=True)
                 if dc_enabled:
-                    feat_s = det.module.apply(
-                        variables, src_images, False, method=type(det.module).features
-                    )
-                    feat_t = det.module.apply(
-                        variables, tgt_weak, False, method=type(det.module).features
-                    )
-                    out_s = dc_img.apply({"params": params["dc"]}, gradient_scalar(feat_s, -1.0))
-                    out_t = dc_img.apply({"params": params["dc"]}, gradient_scalar(feat_t, -1.0))
+                    out_s = dc_img.apply({"params": params["dc"]}, gradient_scalar(feat_src, -1.0))
+                    out_t = dc_img.apply({"params": params["dc"]}, gradient_scalar(feat_tw, -1.0))
                     loss_s = jnp.mean(sigmoid_ce(out_s, jnp.zeros_like(out_s)))
                     loss_t = jnp.mean(sigmoid_ce(out_t, jnp.ones_like(out_t)))
                     metrics["loss_DC_img_s"] = loss_s
@@ -144,11 +146,15 @@ class AdaptiveTeacherTrainer(SourceFreeAdaptiveTeacherTrainer):
                     # :157-203); the AT trainer's loss weighting leaves
                     # loss_DC_ins_* in the x1 else-branch (adaptive_teacher.py
                     # :316-327), unlike SFAT's DIS_LOSS_WEIGHT
-                    from ...ops.losses import sigmoid_ce as _ce
-
+                    canvas_src = tuple(src_images.shape[1:3])
+                    canvas_tgt = tuple(tgt_images.shape[1:3])
                     k_ds, k_dt = jax.random.split(k_dc)
-                    bf_s, v_s = det.box_features(variables, src_images, src_sizes)
-                    bf_t, v_t = det.box_features(variables, tgt_weak, tgt_sizes)
+                    bf_s, v_s = det.box_features_from_feature(
+                        variables, feat_src, src_sizes, canvas_src
+                    )
+                    bf_t, v_t = det.box_features_from_feature(
+                        variables, feat_tw, tgt_sizes, canvas_tgt
+                    )
                     out_s = dc_ins.apply(
                         {"params": params["dc_ins"]},
                         gradient_scalar(bf_s, -1.0),
@@ -163,12 +169,12 @@ class AdaptiveTeacherTrainer(SourceFreeAdaptiveTeacherTrainer):
                     )[:, 0]
                     vs = v_s.astype(jnp.float32)
                     vt = v_t.astype(jnp.float32)
-                    loss_ins_s = jnp.sum(_ce(out_s, jnp.zeros_like(out_s)) * vs) / jnp.maximum(
-                        jnp.sum(vs), 1.0
-                    )
-                    loss_ins_t = jnp.sum(_ce(out_t, jnp.ones_like(out_t)) * vt) / jnp.maximum(
-                        jnp.sum(vt), 1.0
-                    )
+                    loss_ins_s = jnp.sum(
+                        sigmoid_ce(out_s, jnp.zeros_like(out_s)) * vs
+                    ) / jnp.maximum(jnp.sum(vs), 1.0)
+                    loss_ins_t = jnp.sum(
+                        sigmoid_ce(out_t, jnp.ones_like(out_t)) * vt
+                    ) / jnp.maximum(jnp.sum(vt), 1.0)
                     metrics["loss_DC_ins_s"] = loss_ins_s
                     metrics["loss_DC_ins_t"] = loss_ins_t
                     total = total + loss_ins_s + loss_ins_t

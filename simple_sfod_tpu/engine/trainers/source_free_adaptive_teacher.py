@@ -82,7 +82,21 @@ class SourceFreeAdaptiveTeacherTrainer(BaseTrainer):
         # teacher starts as a COPY of the student (both from the source
         # checkpoint); distinct buffers are required because the jitted step
         # donates the whole state (same-buffer donation is illegal).
-        copy = lambda tree: jax.tree.map(jnp.array, tree)
+        #
+        # Fixed-teacher variants (EMA off, reference :581 commented out) keep
+        # the teacher in bf16 when compute is bf16: it is inference-only, so
+        # this halves the teacher's HBM->VMEM parameter prefetch traffic
+        # (BENCH_NOTES round-2 lead #2). EMA variants stay f32 — with
+        # keep_rate 0.9996 the (1-keep) increments are below bf16 resolution
+        # and the teacher would stop moving.
+        teacher_dtype = (
+            self.det_cfg.dtype
+            if (not self.ema_enabled and self.det_cfg.dtype == jnp.bfloat16)
+            else None
+        )
+        copy = lambda tree: jax.tree.map(
+            lambda x: jnp.array(x, dtype=teacher_dtype or x.dtype), tree
+        )
         return TeacherStudentState(
             step=jnp.zeros((), jnp.int32),
             params=params,
@@ -173,6 +187,94 @@ class SourceFreeAdaptiveTeacherTrainer(BaseTrainer):
         dc_ins = getattr(self, "dc_ins", None)
         style = self._build_style_transfer() if cfg.STYLE.ENABLED else None
 
+        def pseudo_pipeline(dets, thresh: AdaptiveThresholdState, step):
+            """Steps 4-5 of the reference run_step: adaptive-threshold
+            bookkeeping (sfat.py:393-404 + :282-333) and the FlexMatch convex
+            mask after warm-up (adaptive_confidence.py:29)."""
+            dets = jax.tree.map(jax.lax.stop_gradient, dets)
+            fixed_mask = dets.valid & (dets.scores > bbox_threshold)
+            counts = jnp.sum(
+                jax.nn.one_hot(dets.classes, num_classes, dtype=jnp.int32)
+                * fixed_mask[..., None].astype(jnp.int32),
+                axis=(0, 1),
+            )
+            reserve = jax.lax.dynamic_update_index_in_dim(
+                thresh.reserve, counts, step % reserve_n, axis=0
+            )
+            counter = jnp.sum(reserve, axis=0).astype(jnp.float32)
+            counter = counter.at[jnp.asarray(PINNED_CLASSES)].set(0.0)
+            acc = counter / jnp.maximum(jnp.max(counter), 1.0)
+            acc = acc.at[jnp.asarray(PINNED_CLASSES)].set(1.0)
+            new_thresh = AdaptiveThresholdState(
+                reserve=reserve, classwise_acc=acc, cursor=thresh.cursor + 1
+            )
+            per_det_acc = jnp.take(acc, dets.classes, axis=0)
+            adaptive_thr = bbox_threshold * per_det_acc / (2.0 - per_det_acc)
+            use_adaptive = jnp.asarray(adaptive_on) & (step >= warm_up)
+            eff_thr = jnp.where(use_adaptive, adaptive_thr, bbox_threshold)
+            pseudo_valid = dets.valid & (dets.scores >= eff_thr)
+            pseudo_gt = Instances(
+                boxes=dets.boxes,
+                scores=dets.scores,
+                classes=dets.classes,
+                valid=pseudo_valid,
+            )
+            pstats = {
+                "num_pseudo": jnp.sum(pseudo_valid.astype(jnp.int32)),
+                "pseudo_mean_conf": jnp.sum(
+                    dets.scores * dets.valid.astype(jnp.float32)
+                ) / jnp.maximum(jnp.sum(dets.valid.astype(jnp.float32)), 1.0),
+            }
+            return pseudo_gt, new_thresh, pstats
+
+        def dc_losses(params, variables, feat_s, feat_t, sizes, canvas, rng_dc, metrics, total):
+            """Image- and instance-level domain-discriminator losses on
+            ALREADY-COMPUTED backbone features: strong/enhanced view labelled
+            source(=0), weak view target(=1) (meta_arch :137-210). Reusing
+            the loss pass's features removes two full backbone passes per
+            step (BENCH_NOTES round-2 leads)."""
+            if dc_enabled:
+                out_s = dc_img.apply({"params": params["dc"]}, gradient_scalar(feat_s, -1.0))
+                out_t = dc_img.apply({"params": params["dc"]}, gradient_scalar(feat_t, -1.0))
+                loss_s = jnp.mean(sigmoid_ce(out_s, jnp.zeros_like(out_s)))
+                loss_t = jnp.mean(sigmoid_ce(out_t, jnp.ones_like(out_t)))
+                metrics["loss_DC_img_s"] = loss_s
+                metrics["loss_DC_img_t"] = loss_t
+                if dc_image:
+                    total = total + dis_w * (loss_s + loss_t)
+            if ins_dc_enabled:
+                # instance-level discriminator on box-head features behind
+                # gradient reversal (reference instance_dc_loss, meta_arch
+                # :341-349; weighted at sfat.py:557)
+                k_ds, k_dt = jax.random.split(rng_dc)
+                bf_s, v_s = det.box_features_from_feature(variables, feat_s, sizes, canvas)
+                bf_t, v_t = det.box_features_from_feature(variables, feat_t, sizes, canvas)
+                out_s = dc_ins.apply(
+                    {"params": params["dc_ins"]},
+                    gradient_scalar(bf_s, -1.0),
+                    train=True,
+                    rngs={"dropout": k_ds},
+                )[:, 0]
+                out_t = dc_ins.apply(
+                    {"params": params["dc_ins"]},
+                    gradient_scalar(bf_t, -1.0),
+                    train=True,
+                    rngs={"dropout": k_dt},
+                )[:, 0]
+                vs = v_s.astype(jnp.float32)
+                vt = v_t.astype(jnp.float32)
+                loss_ins_s = jnp.sum(
+                    sigmoid_ce(out_s, jnp.zeros_like(out_s)) * vs
+                ) / jnp.maximum(jnp.sum(vs), 1.0)
+                loss_ins_t = jnp.sum(
+                    sigmoid_ce(out_t, jnp.ones_like(out_t)) * vt
+                ) / jnp.maximum(jnp.sum(vt), 1.0)
+                metrics["loss_DC_ins_s"] = loss_ins_s
+                metrics["loss_DC_ins_t"] = loss_ins_t
+                if dc_instance:
+                    total = total + dis_w * (loss_ins_s + loss_ins_t)
+            return metrics, total
+
         def step_fn(state: TeacherStudentState, images, sizes, rng):
             images = images.astype(jnp.float32)
             rng = jax.random.fold_in(rng, state.step)
@@ -196,112 +298,79 @@ class SourceFreeAdaptiveTeacherTrainer(BaseTrainer):
                 images_s = jax.vmap(T.strong_augment)(rngs, images_w)
             else:
                 images_s = images_w
+            b = images.shape[0]
+            canvas = tuple(images.shape[1:3])
 
-            # 3. teacher (or student: `_single` variant) pseudo-labels on weak
             if pseudo_from_student:
-                pl_vars = {"params": state.params["det"], "batch_stats": state.batch_stats}
+                # `_single` variant: pseudo-labels come from the STUDENT, so
+                # weak (inference) and strong (loss) views share ONE fused
+                # backbone pass at 2x batch — same FLOPs, half the per-op
+                # dispatch/prefetch overhead the device trace showed the step
+                # is bound by (BENCH_NOTES round-2 lead #1). The weak half is
+                # stop_gradient'd; train-mode BN over the combined batch
+                # mirrors the reference's always-train-mode student.
+                def loss_fn(params):
+                    variables = {"params": params["det"], "batch_stats": state.batch_stats}
+                    fused = jnp.concatenate([images_w, images_s], axis=0)
+                    feat_all, mutated = det._features(variables, fused, True, mutable=True)
+                    new_stats = mutated.get("batch_stats", {})
+                    feat_w = feat_all[:b]
+                    feat_s = feat_all[b:]
+                    dets = det.infer_from_feature(
+                        variables,
+                        jax.lax.stop_gradient(feat_w),
+                        sizes,
+                        canvas,
+                        topk=pseudo_capacity,
+                    )
+                    pseudo_gt, new_thresh, pstats = pseudo_pipeline(
+                        dets, state.thresh, state.step
+                    )
+                    batch = DetectionBatch(images=images_s, sizes=sizes, gt=pseudo_gt)
+                    total, metrics = det.losses_from_feature(
+                        variables, feat_s, batch, rng_loss, with_bpc=True
+                    )
+                    metrics = {f"{k}_pseudo": v for k, v in metrics.items()}
+                    total = total * unsup_w
+                    metrics, total = dc_losses(
+                        params, variables, feat_s, feat_w, sizes, canvas, rng_dc, metrics, total
+                    )
+                    return total, (metrics, new_stats, new_thresh, pstats)
+
+                (total, (metrics, new_stats, new_thresh, pstats)), grads = jax.value_and_grad(
+                    loss_fn, has_aux=True
+                )(state.params)
             else:
-                pl_vars = state.teacher_variables()
-            dets = det.infer(pl_vars, images_w, sizes, topk=pseudo_capacity)
-            dets = jax.tree.map(jax.lax.stop_gradient, dets)
+                # 3. fixed-teacher pseudo-labels on the weak view (separate
+                # parameter tree -> separate pass; bf16 teacher params halve
+                # its prefetch traffic)
+                dets = det.infer(state.teacher_variables(), images_w, sizes, topk=pseudo_capacity)
+                pseudo_gt, new_thresh, pstats = pseudo_pipeline(dets, state.thresh, state.step)
+                batch = DetectionBatch(images=images_s, sizes=sizes, gt=pseudo_gt)
 
-            # 4. adaptive-threshold bookkeeping (sfat.py:393-404 + :282-333)
-            fixed_mask = dets.valid & (dets.scores > bbox_threshold)
-            counts = jnp.sum(
-                jax.nn.one_hot(dets.classes, num_classes, dtype=jnp.int32)
-                * fixed_mask[..., None].astype(jnp.int32),
-                axis=(0, 1),
-            )
-            thresh = state.thresh
-            reserve = jax.lax.dynamic_update_index_in_dim(
-                thresh.reserve, counts, state.step % reserve_n, axis=0
-            )
-            counter = jnp.sum(reserve, axis=0).astype(jnp.float32)
-            counter = counter.at[jnp.asarray(PINNED_CLASSES)].set(0.0)
-            acc = counter / jnp.maximum(jnp.max(counter), 1.0)
-            acc = acc.at[jnp.asarray(PINNED_CLASSES)].set(1.0)
-            new_thresh = AdaptiveThresholdState(
-                reserve=reserve, classwise_acc=acc, cursor=thresh.cursor + 1
-            )
-
-            # 5. pseudo-label mask: FlexMatch convex rule after warm-up
-            # (adaptive_confidence.py:29), fixed threshold before
-            per_det_acc = jnp.take(acc, dets.classes, axis=0)
-            adaptive_thr = bbox_threshold * per_det_acc / (2.0 - per_det_acc)
-            use_adaptive = jnp.asarray(adaptive_on) & (state.step >= warm_up)
-            eff_thr = jnp.where(use_adaptive, adaptive_thr, bbox_threshold)
-            pseudo_valid = dets.valid & (dets.scores >= eff_thr)
-            pseudo_gt = Instances(
-                boxes=dets.boxes,
-                scores=dets.scores,
-                classes=dets.classes,
-                valid=pseudo_valid,
-            )
-
-            # 6. student losses on the strong view vs pseudo-GT
-            batch = DetectionBatch(images=images_s, sizes=sizes, gt=pseudo_gt)
-
-            def loss_fn(params):
-                variables = {"params": params["det"], "batch_stats": state.batch_stats}
-                total, metrics, new_stats = det.supervised_losses(
-                    variables, batch, rng_loss, with_bpc=True
-                )
-                metrics = {f"{k}_pseudo": v for k, v in metrics.items()}
-                total = total * unsup_w
-                if dc_enabled:
-                    # image-level discriminator with gradient reversal:
-                    # strong/enhanced view labelled source(=0), weak view
-                    # target(=1) (meta_arch :137-210)
-                    feat_s = det.module.apply(
-                        variables, images_s, False, method=type(det.module).features
+                def loss_fn(params):
+                    variables = {"params": params["det"], "batch_stats": state.batch_stats}
+                    feat_s, mutated = det._features(variables, images_s, True, mutable=True)
+                    new_stats = mutated.get("batch_stats", {})
+                    total, metrics = det.losses_from_feature(
+                        variables, feat_s, batch, rng_loss, with_bpc=True
                     )
-                    feat_t = det.module.apply(
-                        variables, images_w, False, method=type(det.module).features
-                    )
-                    out_s = dc_img.apply({"params": params["dc"]}, gradient_scalar(feat_s, -1.0))
-                    out_t = dc_img.apply({"params": params["dc"]}, gradient_scalar(feat_t, -1.0))
-                    loss_s = jnp.mean(sigmoid_ce(out_s, jnp.zeros_like(out_s)))
-                    loss_t = jnp.mean(sigmoid_ce(out_t, jnp.ones_like(out_t)))
-                    metrics["loss_DC_img_s"] = loss_s
-                    metrics["loss_DC_img_t"] = loss_t
-                    if dc_image:
-                        total = total + dis_w * (loss_s + loss_t)
-                if ins_dc_enabled:
-                    # instance-level discriminator on box-head features
-                    # behind gradient reversal (reference instance_dc_loss,
-                    # meta_arch :341-349; weighted at sfat.py:557)
-                    k_ds, k_dt = jax.random.split(rng_dc)
-                    bf_s, v_s = det.box_features(variables, images_s, sizes)
-                    bf_t, v_t = det.box_features(variables, images_w, sizes)
-                    out_s = dc_ins.apply(
-                        {"params": params["dc_ins"]},
-                        gradient_scalar(bf_s, -1.0),
-                        train=True,
-                        rngs={"dropout": k_ds},
-                    )[:, 0]
-                    out_t = dc_ins.apply(
-                        {"params": params["dc_ins"]},
-                        gradient_scalar(bf_t, -1.0),
-                        train=True,
-                        rngs={"dropout": k_dt},
-                    )[:, 0]
-                    vs = v_s.astype(jnp.float32)
-                    vt = v_t.astype(jnp.float32)
-                    loss_ins_s = jnp.sum(
-                        sigmoid_ce(out_s, jnp.zeros_like(out_s)) * vs
-                    ) / jnp.maximum(jnp.sum(vs), 1.0)
-                    loss_ins_t = jnp.sum(
-                        sigmoid_ce(out_t, jnp.ones_like(out_t)) * vt
-                    ) / jnp.maximum(jnp.sum(vt), 1.0)
-                    metrics["loss_DC_ins_s"] = loss_ins_s
-                    metrics["loss_DC_ins_t"] = loss_ins_t
-                    if dc_instance:
-                        total = total + dis_w * (loss_ins_s + loss_ins_t)
-                return total, (metrics, new_stats)
+                    metrics = {f"{k}_pseudo": v for k, v in metrics.items()}
+                    total = total * unsup_w
+                    if dc_enabled or ins_dc_enabled:
+                        # one extra student pass on the weak view (train-mode
+                        # BN like the reference, statistics discarded); the
+                        # strong side reuses the loss pass's features
+                        feat_t, _ = det._features(variables, images_w, True, mutable=True)
+                        metrics, total = dc_losses(
+                            params, variables, feat_s, feat_t, sizes, canvas, rng_dc, metrics, total
+                        )
+                    return total, (metrics, new_stats)
 
-            (total, (metrics, new_stats)), grads = jax.value_and_grad(
-                loss_fn, has_aux=True
-            )(state.params)
+                (total, (metrics, new_stats)), grads = jax.value_and_grad(
+                    loss_fn, has_aux=True
+                )(state.params)
+
             updates, new_opt = optimizer.update(grads, state.opt_state, state.params)
             new_params = optax.apply_updates(state.params, updates)
 
@@ -317,10 +386,7 @@ class SourceFreeAdaptiveTeacherTrainer(BaseTrainer):
                 new_teacher_stats = state.teacher_stats
 
             metrics["total_loss"] = total
-            metrics["num_pseudo"] = jnp.sum(pseudo_valid.astype(jnp.int32))
-            metrics["pseudo_mean_conf"] = jnp.sum(
-                dets.scores * dets.valid.astype(jnp.float32)
-            ) / jnp.maximum(jnp.sum(dets.valid.astype(jnp.float32)), 1.0)
+            metrics.update(pstats)
 
             new_state = TeacherStudentState(
                 step=state.step + 1,

@@ -82,30 +82,25 @@ class Detector:
         )
 
     # -- training ----------------------------------------------------------
-    def supervised_losses(
+    def losses_from_feature(
         self,
         variables,
+        feature: jnp.ndarray,
         batch: DetectionBatch,
         rng: jax.Array,
-        update_bn: bool = True,
         loss_weights: Optional[Dict[str, float]] = None,
         with_bpc: bool = False,
     ):
-        """Full supervised Faster R-CNN loss (the reference's "supervised" /
-        "supervised_target" branches). Returns (total_loss, metrics, new_batch_stats).
-        """
+        """Head-side supervised losses on a precomputed backbone feature.
+
+        Split out of supervised_losses so trainers can share ONE backbone
+        pass between the loss path and other consumers (domain classifiers,
+        the `_single` variant's fused weak+strong forward) — the backbone is
+        the step's dominant cost and the step was previously
+        backbone-pass-bound (BENCH_NOTES device trace)."""
         cfg = self.cfg
         rng_rpn, rng_roi, rng_drop = jax.random.split(rng, 3)
-        canvas = batch.images.shape[1:3]
-        anchors = anchors_for(cfg, canvas)
-
-        # train-mode BN always needs a mutable collection; update_bn decides
-        # whether the freshly-written statistics are kept or discarded
-        feature, mutated = self._features(variables, batch.images, True, mutable=True)
-        if update_bn:
-            new_stats = mutated.get("batch_stats", {})
-        else:
-            new_stats = variables.get("batch_stats", {})
+        anchors = anchors_for(cfg, batch.images.shape[1:3])
 
         rpn_out = self._rpn(variables, feature)
         losses = rpn_losses(cfg, anchors, rpn_out, batch.gt, rng_rpn)
@@ -137,9 +132,64 @@ class Detector:
 
             preds = bpc_candidates(cfg, scores, deltas, sampled, batch.sizes)
             metrics["loss_bpc"] = bpc_loss(preds, batch.gt)
+        return total, metrics
+
+    def supervised_losses(
+        self,
+        variables,
+        batch: DetectionBatch,
+        rng: jax.Array,
+        update_bn: bool = True,
+        loss_weights: Optional[Dict[str, float]] = None,
+        with_bpc: bool = False,
+    ):
+        """Full supervised Faster R-CNN loss (the reference's "supervised" /
+        "supervised_target" branches). Returns (total_loss, metrics, new_batch_stats).
+        """
+        # train-mode BN always needs a mutable collection; update_bn decides
+        # whether the freshly-written statistics are kept or discarded
+        feature, mutated = self._features(variables, batch.images, True, mutable=True)
+        if update_bn:
+            new_stats = mutated.get("batch_stats", {})
+        else:
+            new_stats = variables.get("batch_stats", {})
+        total, metrics = self.losses_from_feature(
+            variables, feature, batch, rng, loss_weights=loss_weights, with_bpc=with_bpc
+        )
         return total, metrics, new_stats
 
     # -- inference ---------------------------------------------------------
+    def infer_from_feature(
+        self,
+        variables,
+        feature: jnp.ndarray,
+        sizes: jnp.ndarray,
+        canvas_hw: Tuple[int, int],
+        score_thresh: float = None,
+        nms_thresh: float = None,
+        topk: int = None,
+    ) -> Instances:
+        """Head-side inference on a precomputed backbone feature (see
+        losses_from_feature for why the split exists). canvas_hw is the
+        padded image canvas the feature was computed from."""
+        cfg = self.cfg
+        anchors = anchors_for(cfg, canvas_hw)
+        rpn_out = self._rpn(variables, feature)
+        proposals = propose(cfg, anchors, rpn_out, sizes, training=False)
+        pooled = pool_rois(cfg, feature, proposals.boxes)
+        scores, deltas = self._box(variables, pooled)
+        b, r = proposals.boxes.shape[:2]
+        return roi_inference(
+            cfg,
+            scores.reshape(b, r, -1),
+            deltas.reshape(b, r, -1),
+            proposals,
+            sizes,
+            score_thresh=score_thresh,
+            nms_thresh=nms_thresh,
+            topk=topk,
+        )
+
     def infer(
         self,
         variables,
@@ -156,25 +206,17 @@ class Detector:
         updating them — the reference's AdaBN eval probe (model.train() under
         no_grad, base.py:281-299) and its teacher's always-train-mode quirk.
         """
-        cfg = self.cfg
-        anchors = anchors_for(cfg, images.shape[1:3])
         if train_mode_bn:
             # batch statistics, discarded (flax needs the collection mutable
             # to run BN in train mode even when we don't keep the update)
             feature, _ = self._features(variables, images, True, mutable=True)
         else:
             feature = self._features(variables, images, False, mutable=False)
-        rpn_out = self._rpn(variables, feature)
-        proposals = propose(cfg, anchors, rpn_out, sizes, training=False)
-        pooled = pool_rois(cfg, feature, proposals.boxes)
-        scores, deltas = self._box(variables, pooled)
-        b, r = proposals.boxes.shape[:2]
-        return roi_inference(
-            cfg,
-            scores.reshape(b, r, -1),
-            deltas.reshape(b, r, -1),
-            proposals,
+        return self.infer_from_feature(
+            variables,
+            feature,
             sizes,
+            tuple(images.shape[1:3]),
             score_thresh=score_thresh,
             nms_thresh=nms_thresh,
             topk=topk,
@@ -205,13 +247,14 @@ class Detector:
             apply_score_thresh=False,
         )
 
-    def box_features(
-        self, variables, images: jnp.ndarray, sizes: jnp.ndarray
+    def box_features_from_feature(
+        self, variables, feature: jnp.ndarray, sizes: jnp.ndarray, canvas_hw: Tuple[int, int]
     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-        """Box-head features of the post-NMS RPN proposals, for the
-        instance-level domain classifier (reference meta_arch
-        source_free_adaptive_teacher_rcnn.py:157-203: proposal_generator with
-        compute_loss=False -> roi_heads box features -> DC_ins).
+        """Box-head features of the post-NMS RPN proposals on a precomputed
+        backbone feature, for the instance-level domain classifier (reference
+        meta_arch source_free_adaptive_teacher_rcnn.py:157-203:
+        proposal_generator with compute_loss=False -> roi_heads box features
+        -> DC_ins).
 
         Returns (features [B*R, fc_dim], valid [B*R]). Gradients flow into
         the backbone + box head (the GRL sits in the caller), but not through
@@ -219,14 +262,21 @@ class Detector:
         stop_gradient on proposal boxes.
         """
         cfg = self.cfg
-        anchors = anchors_for(cfg, images.shape[1:3])
-        feature = self._features(variables, images, False, mutable=False)
+        anchors = anchors_for(cfg, canvas_hw)
         rpn_out = self._rpn(variables, feature)
         proposals = propose(cfg, anchors, rpn_out, sizes, training=True)
         boxes = jax.lax.stop_gradient(proposals.boxes)
         pooled = pool_rois(cfg, feature, boxes)
         feats = self.module.apply(variables, pooled, False, method=FasterRCNN.box_feature)
         return feats, proposals.valid.reshape(-1)
+
+    def box_features(
+        self, variables, images: jnp.ndarray, sizes: jnp.ndarray
+    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        feature = self._features(variables, images, False, mutable=False)
+        return self.box_features_from_feature(
+            variables, feature, sizes, tuple(images.shape[1:3])
+        )
 
     def bn_update(self, variables, images: jnp.ndarray):
         """One AdaBN accumulation step: forward in train mode, return updated

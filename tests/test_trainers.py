@@ -132,6 +132,46 @@ class TestSFATStep:
         assert acc[0] == 1.0 and acc[2] == 1.0  # reference pins person & car
 
 
+class TestAdaptiveTeacherStep:
+    def test_burn_in_then_boundary_copy(self):
+        """Source-available AT (reference adaptive_teacher.py): during
+        burn-in the unsup loss is gated off; at step == BURN_UP_STEP the
+        teacher becomes a hard copy of the student. DC img+ins losses ride
+        the same step (reference :316-327)."""
+        cfg = tiny_cfg(
+            "adaptive_teacher",
+            **{
+                "MODEL.BACKBONE.NAME": "build_tiny_backbone",
+                "MODEL.RPN.IN_FEATURES": ("tiny1",),
+                "MODEL.ROI_HEADS.IN_FEATURES": ("tiny1",),
+            },
+        )
+        cfg.SEMISUPNET.BURN_UP_STEP = 1
+        cfg.SEMISUPNET.EMA_KEEP_RATE = 0.9
+        cfg.DOMAIN_CLASSIFIER.ENABLED = True
+        cfg.DOMAIN_CLASSIFIER.INSTANCE = True
+        tr = build_trainer(cfg, synthetic=True)
+        batch = one_batch(tr.cfg, tr.build_train_loader())
+        # step 0: burn-in — teacher stays the init copy
+        t0 = jax.device_get(tr.state.teacher_params)
+        m = tr.run_step(batch)
+        assert np.isfinite(float(m["total_loss"]))
+        assert np.isfinite(float(m["loss_DC_img_s"]))
+        assert np.isfinite(float(m["loss_DC_ins_t"]))
+        same = jax.tree.map(
+            lambda a, b: float(jnp.abs(a - b).max()), t0, jax.device_get(tr.state.teacher_params)
+        )
+        assert max(jax.tree.leaves(same)) == 0
+        # step 1 == BURN_UP_STEP: teacher hard-copies the (updated) student
+        tr.run_step(batch)
+        diff = jax.tree.map(
+            lambda a, b: float(jnp.abs(a - b).max()),
+            jax.device_get(tr.state.teacher_params),
+            jax.device_get(tr.state.params["det"]),
+        )
+        assert max(jax.tree.leaves(diff)) == 0
+
+
 class TestWQStep:
     @pytest.mark.parametrize("trainer", ["base_wq", "base_mosaic", "base_mixup"])
     def test_step_runs(self, trainer):
