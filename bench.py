@@ -23,7 +23,8 @@ import time
 REFERENCE_IMGS_PER_SEC = 4.5  # assumed A100 Detectron2 baseline (see docstring)
 
 
-def _watchdog(seconds: int = 2400):
+def _watchdog(seconds: int = None):
+    seconds = seconds or int(__import__("os").environ.get("BENCH_WATCHDOG_SECS", 2400))
     """The axon TPU tunnel can wedge (ops hang forever, ~0 CPU). Emit a
     sentinel result instead of hanging the driver."""
 

@@ -13,9 +13,19 @@ from .coco_eval import _iou
 
 
 class PascalVOCEvaluator:
-    def __init__(self, thing_classes: Sequence[str], iou_thresh: float = 0.5):
+    """method="all_point" (VOC2010+) or "11_point" (VOC2007) — the two
+    interpolations the reference's vendored toolkit offers
+    (daod/src/utils/enumerators.py MethodAveragePrecision)."""
+
+    def __init__(
+        self,
+        thing_classes: Sequence[str],
+        iou_thresh: float = 0.5,
+        method: str = "all_point",
+    ):
         self.thing_classes = list(thing_classes)
         self.iou_thresh = iou_thresh
+        self.method = method
         self.reset()
 
     def reset(self):
@@ -71,13 +81,21 @@ class PascalVOCEvaluator:
             fp = np.cumsum(~np.asarray(tp_flags)[order])
             rec = tp / n_gt
             prec = tp / np.maximum(tp + fp, 1e-12)
-            # VOC2010+ all-point interpolation
-            mrec = np.concatenate([[0.0], rec, [1.0]])
-            mpre = np.concatenate([[0.0], prec, [0.0]])
-            for i in range(len(mpre) - 2, -1, -1):
-                mpre[i] = max(mpre[i], mpre[i + 1])
-            idx = np.where(mrec[1:] != mrec[:-1])[0]
-            ap = float(np.sum((mrec[idx + 1] - mrec[idx]) * mpre[idx + 1]))
+            if self.method == "11_point":
+                # VOC2007 11-point interpolation
+                ap = 0.0
+                for r in np.linspace(0, 1, 11):
+                    above = prec[rec >= r]
+                    ap += float(above.max()) if above.size else 0.0
+                ap /= 11.0
+            else:
+                # VOC2010+ all-point interpolation
+                mrec = np.concatenate([[0.0], rec, [1.0]])
+                mpre = np.concatenate([[0.0], prec, [0.0]])
+                for i in range(len(mpre) - 2, -1, -1):
+                    mpre[i] = max(mpre[i], mpre[i + 1])
+                idx = np.where(mrec[1:] != mrec[:-1])[0]
+                ap = float(np.sum((mrec[idx + 1] - mrec[idx]) * mpre[idx + 1]))
             aps.append(ap)
             per_class[name] = 100 * ap
         return {

@@ -1,0 +1,121 @@
+#!/usr/bin/env python
+"""Standalone detection-metrics tool — CLI re-build of the reference's
+vendored "review_object_detection_metrics" toolkit + PyQt5 GUI (daod/src/;
+the GUI front-end is out of scope, README). Loads ground truth and
+detections from the common annotation formats and prints COCO AP, Pascal
+VOC AP (all-point / 11-point), and F1 tables.
+
+Examples:
+  python tools/metrics_tool.py --gt ann.json --gt-format coco \
+      --det results.json --det-format coco
+  python tools/metrics_tool.py --gt gts/ --gt-format voc \
+      --det dets/ --det-format abs-xyxy --metrics voc --voc-method 11_point
+  python tools/metrics_tool.py --gt labels/ --gt-format yolo --img-dir imgs/ \
+      --det dets/ --det-format yolo --names names.txt
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def main():
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--gt", required=True, help="GT file (coco) or directory")
+    ap.add_argument("--gt-format", required=True, choices=["coco", "voc", "yolo", "abs-xywh", "abs-xyxy"])
+    ap.add_argument("--det", required=True, help="detections file (coco) or directory")
+    ap.add_argument("--det-format", required=True, choices=["coco", "yolo", "abs-xywh", "abs-xyxy"])
+    ap.add_argument("--metrics", default="coco,voc,f1", help="comma list: coco,voc,f1")
+    ap.add_argument("--iou", type=float, default=0.5, help="IoU for VOC/F1")
+    ap.add_argument("--voc-method", default="all_point", choices=["all_point", "11_point"])
+    ap.add_argument("--names", default=None, help="optional class-names file, one per line")
+    ap.add_argument("--img-dir", default=None, help="images dir (yolo relative coords)")
+    args = ap.parse_args()
+
+    import numpy as np
+
+    from simple_sfod_tpu.evaluation.toolkit import load_detections, load_ground_truth
+
+    names = None
+    if args.names:
+        with open(args.names) as f:
+            names = [line.strip() for line in f if line.strip()]
+
+    gts, class_names, table = load_ground_truth(
+        args.gt, args.gt_format, names=names, images_dir=args.img_dir
+    )
+    dets = load_detections(
+        args.det,
+        args.det_format,
+        table=table,
+        gt_path=args.gt if args.gt_format == "coco" else None,
+        images_dir=args.img_dir,
+    )
+
+    def arrays(rec, det):
+        b = np.asarray(rec.get("boxes", []), np.float64).reshape(-1, 4)
+        c = np.asarray(rec.get("classes", []), np.int64).reshape(-1)
+        if det:
+            s = np.asarray(rec.get("scores", []), np.float64).reshape(-1)
+            return b, s, c
+        return b, c
+
+    wanted = {m.strip() for m in args.metrics.split(",") if m.strip()}
+    results = {}
+    if "coco" in wanted:
+        from simple_sfod_tpu.evaluation.coco_eval import COCOEvaluator
+
+        ev = COCOEvaluator(class_names)
+        # the evaluator's native path wants integer image ids; formats with
+        # filename-stem ids get a dense remap
+        for int_id, (img_id, gt) in enumerate(sorted(gts.items(), key=lambda kv: str(kv[0]))):
+            db, ds, dc = arrays(dets.get(img_id, {}), True)
+            gb, gc = arrays(gt, False)
+            ev.process_image(int_id, db, ds, dc, gb, gc)
+        results["coco"] = ev.evaluate()
+    if "voc" in wanted:
+        from simple_sfod_tpu.evaluation.voc import PascalVOCEvaluator
+
+        ev = PascalVOCEvaluator(class_names, iou_thresh=args.iou, method=args.voc_method)
+        for img_id, gt in gts.items():
+            db, ds, dc = arrays(dets.get(img_id, {}), True)
+            gb, gc = arrays(gt, False)
+            ev.process_image(img_id, db, ds, dc, gb, gc)
+        results["voc"] = ev.evaluate()
+    if "f1" in wanted:
+        from simple_sfod_tpu.evaluation.f1 import F1Evaluator
+
+        ev = F1Evaluator(iou_thresh=args.iou)
+        for img_id, gt in gts.items():
+            db, ds, dc = arrays(dets.get(img_id, {}), True)
+            gb, gc = arrays(gt, False)
+            ev.process_image(img_id, db, ds, dc, gb, gc)
+        results["f1"] = ev.evaluate()
+
+    for key, res in results.items():
+        print(f"== {key} ==")
+        for k, v in res.items():
+            if isinstance(v, dict):
+                continue
+            if isinstance(v, float):
+                print(f"  {k}: {v:.3f}")
+            else:
+                print(f"  {k}: {v}")
+        per_class = res.get("per_class") or res.get("voc_per_class")
+        if per_class:
+            width = max(len(str(n)) for n in per_class) + 2
+            for name, vals in per_class.items():
+                if isinstance(vals, dict):
+                    cells = "  ".join(f"{kk}={vv:.2f}" for kk, vv in vals.items())
+                else:
+                    cells = f"AP={vals:.2f}"
+                print(f"  {str(name):<{width}}{cells}")
+    return results
+
+
+if __name__ == "__main__":
+    main()
