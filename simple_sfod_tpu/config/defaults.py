@@ -40,6 +40,14 @@ def get_cfg() -> CfgNode:
     c.MODEL.RESNETS.NORM = "FrozenBN"
     c.MODEL.RESNETS.OUT_FEATURES = ("res4",)
 
+    # FPN (reference registers build_vgg_fpn_backbone, meta_arch/vgg.py:122;
+    # detectron2 key schema/defaults)
+    c.MODEL.FPN = CfgNode()
+    c.MODEL.FPN.IN_FEATURES = ()  # empty = backbone default (vgg1..vgg4)
+    c.MODEL.FPN.OUT_CHANNELS = 256
+    c.MODEL.FPN.NORM = ""
+    c.MODEL.FPN.FUSE_TYPE = "sum"
+
     c.MODEL.ANCHOR_GENERATOR = CfgNode()
     c.MODEL.ANCHOR_GENERATOR.SIZES = ((32, 64, 128, 256, 512),)
     c.MODEL.ANCHOR_GENERATOR.ASPECT_RATIOS = ((0.5, 1.0, 2.0),)
@@ -213,6 +221,19 @@ def detector_config_from_cfg(cfg: CfgNode) -> DetectorConfig:
         raise ValueError(f"unknown backbone {name}")
     backbone = _BACKBONE_MAP[name] or f"resnet{cfg.MODEL.RESNETS.DEPTH}"
     in_feature = cfg.MODEL.ROI_HEADS.IN_FEATURES[0]
+    fpn = name.endswith("_fpn_backbone")
+    if fpn and not in_feature.startswith("p"):
+        raise ValueError(
+            f"{name} produces pyramid levels p2..p6; set MODEL.RPN.IN_FEATURES/"
+            f"MODEL.ROI_HEADS.IN_FEATURES to one of them (got {in_feature!r})"
+        )
+    fpn_in_features = tuple(cfg.MODEL.FPN.IN_FEATURES)
+    if fpn and not fpn_in_features:
+        fpn_in_features = (
+            ("vgg1", "vgg2", "vgg3", "vgg4")
+            if backbone == "vgg16"
+            else ("res2", "res3", "res4", "res5")
+        )
     dtype = jnp.bfloat16 if (cfg.TPU.DTYPE == "bfloat16" or cfg.SOLVER.AMP.ENABLED) else jnp.float32
     return DetectorConfig(
         num_classes=cfg.MODEL.ROI_HEADS.NUM_CLASSES,
@@ -220,6 +241,11 @@ def detector_config_from_cfg(cfg: CfgNode) -> DetectorConfig:
         vgg_bn=cfg.VGG.BN,
         resnet_norm=cfg.MODEL.RESNETS.NORM,
         in_feature=in_feature,
+        fpn=fpn,
+        fpn_in_features=fpn_in_features,
+        fpn_out_channels=cfg.MODEL.FPN.OUT_CHANNELS,
+        fpn_norm=cfg.MODEL.FPN.NORM,
+        fpn_fuse_type=cfg.MODEL.FPN.FUSE_TYPE,
         anchor_sizes=tuple(cfg.MODEL.ANCHOR_GENERATOR.SIZES[0]),
         anchor_ratios=tuple(cfg.MODEL.ANCHOR_GENERATOR.ASPECT_RATIOS[0]),
         rpn_pre_nms_topk_train=min(cfg.MODEL.RPN.PRE_NMS_TOPK_TRAIN, 4096),

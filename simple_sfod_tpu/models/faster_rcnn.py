@@ -37,6 +37,7 @@ from ..ops.losses import sigmoid_ce, smooth_l1, softmax_ce
 from ..ops.sampler import subsample_labels, subsample_labels_mask
 from ..structures.boxes import BoxTransform, clip_boxes, nonempty, pairwise_iou
 from ..structures.instances import Instances
+from .backbones.fpn import FPN
 from .backbones.resnet import ResNetBackbone
 from .backbones.tiny import TinyBackbone
 from .backbones.vgg import VGG16Backbone
@@ -54,6 +55,13 @@ class DetectorConfig:
     vgg_bn: bool = True
     resnet_norm: str = "BN"
     in_feature: str = "vgg4"
+    # FPN (reference registers build_vgg_fpn_backbone, meta_arch/vgg.py:122):
+    # when enabled the heads consume a pyramid level ("p2".."p6")
+    fpn: bool = False
+    fpn_in_features: Tuple[str, ...] = ()
+    fpn_out_channels: int = 256
+    fpn_norm: str = ""
+    fpn_fuse_type: str = "sum"
     # anchors
     anchor_sizes: Tuple[float, ...] = (32, 64, 128, 256, 512)
     anchor_ratios: Tuple[float, ...] = (0.5, 1.0, 2.0)
@@ -95,11 +103,15 @@ class DetectorConfig:
 
     @property
     def stride(self) -> int:
+        if self.in_feature.startswith("p"):  # FPN level: stride = 2**level
+            return 2 ** int(self.in_feature[1:])
         strides = {"vgg16": VGG16Backbone.out_strides(), "resnet50": ResNetBackbone.out_strides(), "resnet101": ResNetBackbone.out_strides(), "tiny": TinyBackbone.out_strides()}
         return strides[self.backbone][self.in_feature]
 
     @property
     def feature_channels(self) -> int:
+        if self.in_feature.startswith("p"):
+            return self.fpn_out_channels
         chans = {"vgg16": VGG16Backbone.out_channels(), "resnet50": ResNetBackbone.out_channels(), "resnet101": ResNetBackbone.out_channels(), "tiny": TinyBackbone.out_channels()}
         return chans[self.backbone][self.in_feature]
 
@@ -118,16 +130,30 @@ class FasterRCNN(nn.Module):
     def setup(self):
         c = self.cfg
         if c.backbone == "vgg16":
-            self.backbone = VGG16Backbone(bn=c.vgg_bn, dtype=c.dtype)
+            bottom_up = VGG16Backbone(bn=c.vgg_bn, dtype=c.dtype)
         elif c.backbone in ("resnet50", "resnet101"):
             depth = 50 if c.backbone == "resnet50" else 101
-            self.backbone = ResNetBackbone(
-                depth=depth, norm=c.resnet_norm, out_features=(c.in_feature,), dtype=c.dtype
+            feats = c.fpn_in_features if c.fpn else (c.in_feature,)
+            bottom_up = ResNetBackbone(
+                depth=depth, norm=c.resnet_norm, out_features=feats, dtype=c.dtype
             )
         elif c.backbone == "tiny":
-            self.backbone = TinyBackbone(bn=c.vgg_bn, dtype=c.dtype)
+            bottom_up = TinyBackbone(bn=c.vgg_bn, dtype=c.dtype)
         else:
             raise ValueError(f"unknown backbone {c.backbone}")
+        if c.fpn:
+            if not c.fpn_in_features:
+                raise ValueError("fpn=True requires fpn_in_features")
+            self.backbone = FPN(
+                bottom_up=bottom_up,
+                in_features=c.fpn_in_features,
+                out_channels=c.fpn_out_channels,
+                norm=c.fpn_norm,
+                fuse_type=c.fpn_fuse_type,
+                dtype=c.dtype,
+            )
+        else:
+            self.backbone = bottom_up
         self.rpn_head = RPNHead(num_anchors=c.num_anchors, dtype=c.dtype)
         self.box_head = FastRCNNConvFCHead(
             fc_dims=(c.fc_dim,) * c.num_fc, dropout=c.box_head_dropout, dtype=c.dtype
