@@ -121,6 +121,12 @@ def get_cfg() -> CfgNode:
     c.SOLVER.IMS_PER_BATCH_TARGET = 1
     c.SOLVER.BASE_LR = 0.001
     c.SOLVER.MOMENTUM = 0.9
+    # Flat fused momentum/decay/LR update instead of per-leaf tree_maps
+    # (identical math; solver/build.py FusedSGD). Measured SLOWER on TPU at
+    # this model size — the ravel/unravel concats add ~3.4ms/step of HBM
+    # traffic while XLA already overlaps the per-leaf updates (BENCH_NOTES
+    # round 2) — so it stays off by default.
+    c.SOLVER.FUSED = False
     c.SOLVER.WEIGHT_DECAY = 0.0001
     c.SOLVER.GAMMA = 0.1
     c.SOLVER.STEPS = (30000,)

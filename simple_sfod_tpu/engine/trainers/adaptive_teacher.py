@@ -17,7 +17,6 @@ from typing import Dict
 
 import jax
 import jax.numpy as jnp
-import optax
 
 from ...data import transforms as T
 from ...data.loader import build_train_loader, gt_instances
@@ -26,6 +25,7 @@ from ...models.detector import DetectionBatch
 from ...ops.losses import sigmoid_ce
 from ...parallel.mesh import shard_batch
 from ...structures.instances import Instances
+from ...solver.build import apply_gradients
 from ..train_state import TeacherStudentState, ema_update
 from . import register_trainer
 from .base import apply_weak_aug
@@ -183,8 +183,9 @@ class AdaptiveTeacherTrainer(SourceFreeAdaptiveTeacherTrainer):
             (total, (metrics, new_stats)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
                 state.params
             )
-            updates, new_opt = optimizer.update(grads, state.opt_state, state.params)
-            new_params = optax.apply_updates(state.params, updates)
+            new_params, new_opt = apply_gradients(
+                optimizer, grads, state.opt_state, state.params
+            )
 
             # teacher: hard copy at the burn-up boundary, EMA afterwards
             at_boundary = state.step == burn_up

@@ -19,7 +19,6 @@ from typing import Dict
 import jax
 import jax.numpy as jnp
 import numpy as np
-import optax
 
 from ...checkpoint.checkpointer import Checkpointer
 from ...config.defaults import detector_config_from_cfg
@@ -30,6 +29,7 @@ from ...models.detector import DetectionBatch, Detector
 from ...parallel.mesh import make_mesh, shard_batch, replicate
 from ...solver.build import build_optimizer, warmup_multistep_schedule
 from ...structures.instances import Instances
+from ...solver.build import apply_gradients
 from ..eval_loop import inference_on_dataset
 from ..events import ConsoleWriter, EventStorage, JSONWriter
 from ..train_state import TrainState
@@ -154,8 +154,9 @@ class BaseTrainer:
             (total, (metrics, new_stats)), grads = jax.value_and_grad(
                 loss_fn, has_aux=True
             )(state.params)
-            updates, new_opt = optimizer.update(grads, state.opt_state, state.params)
-            new_params = optax.apply_updates(state.params, updates)
+            new_params, new_opt = apply_gradients(
+                optimizer, grads, state.opt_state, state.params
+            )
             metrics["total_loss"] = total
             new_state = state.replace(
                 step=state.step + 1,

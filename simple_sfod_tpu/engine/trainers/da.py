@@ -16,7 +16,6 @@ from typing import Dict
 
 import jax
 import jax.numpy as jnp
-import optax
 
 from ...data.loader import build_train_loader, gt_instances
 from ...models.dann import DAImgHead, DAInsHead, gradient_scalar
@@ -25,6 +24,7 @@ from ...models.faster_rcnn import anchors_for, propose, pool_rois
 from ...ops.losses import sigmoid_ce
 from ...parallel.mesh import shard_batch
 from ...structures.instances import Instances
+from ...solver.build import apply_gradients
 from ..train_state import TrainState
 from . import register_trainer
 from .base import BaseTrainer, apply_weak_aug
@@ -158,8 +158,9 @@ class _DATrainerBase(BaseTrainer):
             (total, (metrics, new_stats)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
                 state.params
             )
-            updates, new_opt = optimizer.update(grads, state.opt_state, state.params)
-            new_params = optax.apply_updates(state.params, updates)
+            new_params, new_opt = apply_gradients(
+                optimizer, grads, state.opt_state, state.params
+            )
             metrics["total_loss"] = total
             return (
                 state.replace(

@@ -26,7 +26,6 @@ from typing import Dict
 
 import jax
 import jax.numpy as jnp
-import optax
 
 from ...data import transforms as T
 from ...data.loader import build_train_loader
@@ -35,6 +34,7 @@ from ...models.detector import DetectionBatch
 from ...ops.losses import sigmoid_ce
 from ...parallel.mesh import shard_batch
 from ...structures.instances import Instances
+from ...solver.build import apply_gradients
 from ..train_state import AdaptiveThresholdState, TeacherStudentState, ema_update
 from . import register_trainer
 from .base import BaseTrainer, apply_weak_aug
@@ -371,8 +371,9 @@ class SourceFreeAdaptiveTeacherTrainer(BaseTrainer):
                     loss_fn, has_aux=True
                 )(state.params)
 
-            updates, new_opt = optimizer.update(grads, state.opt_state, state.params)
-            new_params = optax.apply_updates(state.params, updates)
+            new_params, new_opt = apply_gradients(
+                optimizer, grads, state.opt_state, state.params
+            )
 
             # 7. EMA teacher update (reference :583-603; disabled in the main
             # variant, enabled in _single/_mosaic)

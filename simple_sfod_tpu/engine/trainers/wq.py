@@ -13,12 +13,12 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
-import optax
 
 from ...data import transforms as T
 from ...data.mosaic import mixup_batch, mosaic_batch
 from ...models.detector import DetectionBatch
 from ...structures.instances import Instances
+from ...solver.build import apply_gradients
 from ..train_state import TrainState
 from . import register_trainer
 from .base import BaseTrainer, apply_weak_aug
@@ -59,8 +59,9 @@ class WQTrainer(BaseTrainer):
             (total, (metrics, new_stats)), grads = jax.value_and_grad(
                 loss_fn, has_aux=True
             )(state.params)
-            updates, new_opt = optimizer.update(grads, state.opt_state, state.params)
-            new_params = optax.apply_updates(state.params, updates)
+            new_params, new_opt = apply_gradients(
+                optimizer, grads, state.opt_state, state.params
+            )
             metrics["total_loss"] = total
             return (
                 state.replace(

@@ -437,6 +437,7 @@ def roi_inference(
     topk: int = None,
     apply_nms: bool = True,
     apply_score_thresh: bool = True,
+    candidate_cap: int = None,
 ) -> Instances:
     """Fast R-CNN inference (detectron2 fast_rcnn_inference, static shapes).
 
@@ -463,8 +464,11 @@ def roi_inference(
         if apply_score_thresh:
             valid &= flat_scores > score_thresh
         # Cap the NMS candidate set: R*C can be large (512*8 = 4096); top-k
-        # first by score keeps the NMS tile loop short.
-        cap = min(flat_scores.shape[0], max(8 * topk, 1024))
+        # first by score keeps the NMS tile loop short. Measured cost of the
+        # default cap vs the full R*C set: zero detection/AP delta on dense
+        # synthetic scenes (tools/measure_roi_cap.py, PARITY_EVIDENCE.md).
+        cap = candidate_cap or max(8 * topk, 1024)
+        cap = min(flat_scores.shape[0], cap)
         key = jnp.where(valid, flat_scores, -jnp.inf)
         _, idx = jax.lax.top_k(key, cap)
         cand = Instances(
