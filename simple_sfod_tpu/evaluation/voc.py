@@ -43,9 +43,10 @@ class PascalVOCEvaluator:
             "classes": np.asarray(gt_classes).reshape(-1),
         }
 
-    def evaluate(self) -> dict:
+    def evaluate(self, return_curves: bool = False) -> dict:
         aps = []
         per_class = {}
+        curves = {}
         for c, name in enumerate(self.thing_classes):
             scores, tp_flags, n_gt = [], [], 0
             for img_id, gt in self._gts.items():
@@ -81,6 +82,7 @@ class PascalVOCEvaluator:
             fp = np.cumsum(~np.asarray(tp_flags)[order])
             rec = tp / n_gt
             prec = tp / np.maximum(tp + fp, 1e-12)
+            curves[name] = (rec.copy(), prec.copy())
             if self.method == "11_point":
                 # VOC2007 11-point interpolation
                 ap = 0.0
@@ -98,7 +100,10 @@ class PascalVOCEvaluator:
                 ap = float(np.sum((mrec[idx + 1] - mrec[idx]) * mpre[idx + 1]))
             aps.append(ap)
             per_class[name] = 100 * ap
-        return {
+        out = {
             "VOC_AP50": 100 * float(np.mean(aps)) if aps else float("nan"),
             "voc_per_class": per_class,
         }
+        if return_curves:
+            out["curves"] = curves
+        return out

@@ -186,3 +186,38 @@ class TestFormatsAgree:
         assert "== coco ==" in out and "== voc ==" in out and "== f1 ==" in out
         assert results["voc"]["VOC_AP50"] > 0
         assert results["coco"]["AP50"] > 0
+
+    def test_html_report(self, tmp_path, capsys):
+        """--html writes the GUI-equivalent artifact: stat tiles, per-class
+        table, and one PR-curve SVG panel per class."""
+        gt_path, det_path = _write_coco(tmp_path, GT, DETS)
+        html_path = str(tmp_path / "report.html")
+        import metrics_tool
+
+        sys.argv = [
+            "metrics_tool",
+            "--gt", gt_path, "--gt-format", "coco",
+            "--det", det_path, "--det-format", "coco",
+            "--metrics", "coco,voc,f1",
+            "--html", html_path,
+        ]
+        metrics_tool.main()
+        capsys.readouterr()
+        doc = open(html_path).read()
+        assert doc.startswith("<!doctype html")
+        for cls in NAMES:  # per-class table rows + PR panels
+            assert doc.count(cls) >= 2
+        assert doc.count("<svg") == len(NAMES)
+        assert "polyline" in doc  # at least one real curve
+        assert "AP50" in doc and "F1" in doc  # stat tiles
+
+    def test_report_handles_missing_curves_and_nan(self):
+        from simple_sfod_tpu.evaluation.report import render_report
+
+        doc = render_report(
+            {"coco": {"AP": float("nan"), "AP50": 12.0}},
+            ["a", "b"],
+            curves={"a": (np.asarray([0.0, 0.5]), np.asarray([1.0, 0.8]))},
+        )
+        assert "no detections" in doc  # class b has no curve
+        assert "–" in doc  # nan renders as a dash, not 'nan'

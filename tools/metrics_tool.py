@@ -34,6 +34,12 @@ def main():
     ap.add_argument("--voc-method", default="all_point", choices=["all_point", "11_point"])
     ap.add_argument("--names", default=None, help="optional class-names file, one per line")
     ap.add_argument("--img-dir", default=None, help="images dir (yolo relative coords)")
+    ap.add_argument(
+        "--html",
+        default=None,
+        help="also write a self-contained HTML report (stat tiles, per-class "
+        "table, PR curves) — the GUI-equivalent artifact",
+    )
     args = ap.parse_args()
 
     import numpy as np
@@ -65,6 +71,9 @@ def main():
         return b, c
 
     wanted = {m.strip() for m in args.metrics.split(",") if m.strip()}
+    if args.html:
+        wanted.add("voc")  # the report's PR curves come from the VOC evaluator
+    curves = None
     results = {}
     if "coco" in wanted:
         from simple_sfod_tpu.evaluation.coco_eval import COCOEvaluator
@@ -85,7 +94,8 @@ def main():
             db, ds, dc = arrays(dets.get(img_id, {}), True)
             gb, gc = arrays(gt, False)
             ev.process_image(img_id, db, ds, dc, gb, gc)
-        results["voc"] = ev.evaluate()
+        results["voc"] = ev.evaluate(return_curves=bool(args.html))
+        curves = results["voc"].pop("curves", None)
     if "f1" in wanted:
         from simple_sfod_tpu.evaluation.f1 import F1Evaluator
 
@@ -114,6 +124,21 @@ def main():
                 else:
                     cells = f"AP={vals:.2f}"
                 print(f"  {str(name):<{width}}{cells}")
+
+    if args.html:
+        from simple_sfod_tpu.evaluation.report import render_report
+
+        doc = render_report(
+            results,
+            class_names,
+            curves=curves,
+            title="Detection metrics",
+            subtitle=f"GT: {args.gt} ({args.gt_format}) · detections: {args.det} "
+            f"({args.det_format}) · IoU {args.iou}",
+        )
+        with open(args.html, "w") as f:
+            f.write(doc)
+        print(f"HTML report written to {args.html}")
     return results
 
 
