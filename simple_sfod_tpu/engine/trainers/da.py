@@ -7,7 +7,9 @@ instance_dc_loss :243, consistency_loss :253; cda_faster_rcnn.py:22-243):
 supervised source losses + image/instance domain discriminators behind
 gradient-reversal (weights DA_FASTER.DC_IMG_GRL_WEIGHT etc.) + an
 image<->instance consistency L1. The CDA variant conditions the instance
-discriminator on predictions via a multilinear feature (x) prediction map.
+discriminator on predictions via a multilinear feature (x) prediction map,
+with optional CDAN entropy conditioning (DA_FASTER.ENTROPY_CONDITIONING:
+per-instance BCE weight 1+e^-H, mean-normalised — cda_faster_rcnn.py:276).
 One jitted step over a paired (source, target) batch."""
 
 from __future__ import annotations
@@ -82,6 +84,7 @@ class _DATrainerBase(BaseTrainer):
         w_ins = float(cfg.DA_FASTER.DC_INS_GRL_WEIGHT)
         w_cst = float(cfg.DA_FASTER.DC_CONSISTENCY_WEIGHT)
         conditional = self.conditional
+        entropy_conditioning = conditional and bool(cfg.DA_FASTER.ENTROPY_CONDITIONING)
         da_img_head = self.da_img_head
         da_ins_head = self.da_ins_head
         num_ins = 64
@@ -107,6 +110,7 @@ class _DATrainerBase(BaseTrainer):
                 False,
                 method=lambda m, p, t: m.box_head(p, train=t),
             )
+            probs = None
             if conditional:
                 scores, _ = det.module.apply(
                     variables, pooled, False, method=type(det.module).box
@@ -120,7 +124,15 @@ class _DATrainerBase(BaseTrainer):
                 rngs={"dropout": rng},
             )
             ins_tgt = jnp.full_like(ins_out, domain_label)
-            loss_ins = jnp.mean(sigmoid_ce(ins_out, ins_tgt))
+            ins_bce = sigmoid_ce(ins_out, ins_tgt)
+            if entropy_conditioning:
+                # CDAN entropy conditioning (cda_faster_rcnn.py:276-283):
+                # per-instance weight 1 + e^{-H(softmax)}, mean-normalised
+                ent = -jnp.sum(probs * jnp.log(probs + 1e-5), axis=-1)
+                w = 1.0 + jnp.exp(-ent)
+                w = w / jnp.mean(w)
+                ins_bce = ins_bce * w.reshape(ins_out.shape)
+            loss_ins = jnp.mean(ins_bce)
             # image<->instance consistency (da_faster_rcnn.py:253): each
             # instance's domain prob is pulled toward ITS image's mean
             # image-level prob

@@ -181,6 +181,43 @@ class TestWQStep:
         assert np.isfinite(float(metrics["total_loss"]))
 
 
+class TestDAStep:
+    def test_da_step_produces_dc_losses(self):
+        tr = build_trainer(tiny_cfg("da"), synthetic=True)
+        batch = one_batch(tr.cfg, tr.build_train_loader())
+        metrics = tr.run_step(batch)
+        for k in ("loss_DC_img", "loss_DC_ins", "loss_consistency", "total_loss"):
+            assert np.isfinite(float(metrics[k])), k
+
+    def test_cda_entropy_conditioning_reweights_ins_loss(self):
+        """CDAN entropy conditioning (reference cda_faster_rcnn.py:276-283):
+        the flag must change loss_DC_ins (per-instance 1+e^-H weights), and
+        both variants must step with finite losses. At init the 0.01-std
+        classifier gives near-uniform softmax -> every weight normalises to
+        ~1 and the flag is invisible, so boost the cls head first to spread
+        the per-instance entropies."""
+
+        def boost_cls(tr):
+            det = dict(tr.state.params["det"])
+            pred = jax.tree.map(lambda x: x * 100.0, det["predictor"])
+            det["predictor"] = pred
+            tr.state = tr.state.replace(params={**tr.state.params, "det": det})
+
+        m_plain = build_trainer(tiny_cfg("cda"), synthetic=True)
+        batch = one_batch(m_plain.cfg, m_plain.build_train_loader())
+        boost_cls(m_plain)
+        r_plain = m_plain.run_step(batch)
+
+        m_ent = build_trainer(
+            tiny_cfg("cda", **{"DA_FASTER.ENTROPY_CONDITIONING": True}), synthetic=True
+        )
+        boost_cls(m_ent)
+        r_ent = m_ent.run_step(batch)
+        for r in (r_plain, r_ent):
+            assert np.isfinite(float(r["loss_DC_ins"]))
+        assert float(r_plain["loss_DC_ins"]) != float(r_ent["loss_DC_ins"])
+
+
 class TestAdaBN:
     def test_reset_and_recompute(self):
         tr = build_trainer(tiny_cfg("base"), synthetic=True)
