@@ -257,7 +257,9 @@ def build_train_loader(cfg, dataset_names=None, batch_size=None, seed=None, labe
         training=True,
         seed=cfg.SEED if seed is None else seed,
         input_format=cfg.INPUT.FORMAT,
-        **kw,
+        # DATALOADER.NUM_WORKERS maps to prefetch-queue depth: the torch
+        # worker-process pool becomes one decode thread + a bounded queue
+        **{"prefetch": max(2, int(cfg.DATALOADER.NUM_WORKERS)), **kw},
     )
 
 

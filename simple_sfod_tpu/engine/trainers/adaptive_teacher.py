@@ -28,7 +28,7 @@ from ...structures.instances import Instances
 from ...solver.build import apply_gradients
 from ..train_state import TeacherStudentState, ema_update
 from . import register_trainer
-from .base import apply_weak_aug
+from .base import _flip_enabled, apply_weak_aug
 from .source_free_adaptive_teacher import SourceFreeAdaptiveTeacherTrainer
 
 
@@ -63,6 +63,7 @@ class AdaptiveTeacherTrainer(SourceFreeAdaptiveTeacherTrainer):
         det = self.detector
         cfg = self.cfg
         optimizer = self.optimizer
+        flip = _flip_enabled(self.cfg)
         bbox_threshold = float(cfg.SEMISUPNET.BBOX_THRESHOLD)
         unsup_w = float(cfg.SEMISUPNET.UNSUP_LOSS_WEIGHT)
         sup_w = float(cfg.SEMISUPNET.SUP_LOSS_WEIGHT)
@@ -91,12 +92,12 @@ class AdaptiveTeacherTrainer(SourceFreeAdaptiveTeacherTrainer):
             k_flip_s, k_flip_t, k_strong, k_sup, k_unsup, k_dc = jax.random.split(rng, 6)
             in_burn_up = state.step < burn_up
 
-            src_images, src_gt = apply_weak_aug(k_flip_s, src_images, src_sizes, src_gt)
+            src_images, src_gt = apply_weak_aug(k_flip_s, src_images, src_sizes, src_gt, flip)
             dummy = Instances.empty(1)
             dummy = jax.tree.map(
                 lambda x: jnp.broadcast_to(x[None], (tgt_images.shape[0],) + x.shape), dummy
             )
-            tgt_weak, _ = apply_weak_aug(k_flip_t, tgt_images, tgt_sizes, dummy)
+            tgt_weak, _ = apply_weak_aug(k_flip_t, tgt_images, tgt_sizes, dummy, flip)
             rngs = jax.random.split(k_strong, tgt_images.shape[0])
             tgt_strong = jax.vmap(T.strong_augment)(rngs, tgt_weak)
 

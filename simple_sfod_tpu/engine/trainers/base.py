@@ -36,9 +36,22 @@ from ..train_state import TrainState
 from . import register_trainer
 
 
-def apply_weak_aug(rng, images, sizes, gt: Instances):
+def _flip_enabled(cfg) -> bool:
+    """INPUT.RANDOM_FLIP lowering: detectron2 accepts horizontal|vertical|
+    none; the reference pipelines only ever use horizontal. Rejecting
+    vertical beats silently flipping the wrong axis."""
+    mode = cfg.INPUT.RANDOM_FLIP
+    if mode not in ("horizontal", "none"):
+        raise ValueError(f"INPUT.RANDOM_FLIP={mode!r} unsupported (horizontal|none)")
+    return mode != "none"
+
+
+def apply_weak_aug(rng, images, sizes, gt: Instances, enabled: bool = True):
     """Random horizontal flip of image + GT, batched (the 'weak' pipeline of
-    the reference's mappers). Runs inside the jitted step."""
+    the reference's mappers). Runs inside the jitted step. `enabled=False`
+    (INPUT.RANDOM_FLIP: "none") passes the batch through untouched."""
+    if not enabled:
+        return images, gt
 
     def per_image(rng_i, img, size, boxes):
         w = size[1]
@@ -106,6 +119,7 @@ class BaseTrainer:
             cfg.SOLVER.FACTOR_LIST if len(cfg.SOLVER.FACTOR_LIST) else None,
             cfg.SOLVER.WARMUP_ITERS,
             cfg.SOLVER.WARMUP_FACTOR,
+            cfg.SOLVER.WARMUP_METHOD,
         )
         seed = max(cfg.SEED, 0)
         self.base_rng = jax.random.key(seed)
@@ -136,12 +150,13 @@ class BaseTrainer:
     def _build_train_step(self):
         det = self.detector
         optimizer = self.optimizer
+        flip = _flip_enabled(self.cfg)
 
         def step_fn(state: TrainState, images, sizes, gt: Instances, rng):
             images = images.astype(jnp.float32)  # uint8 arrives over PCIe/tunnel
             rng = jax.random.fold_in(rng, state.step)
             rng_aug, rng_loss = jax.random.split(rng)
-            images, gt_aug = apply_weak_aug(rng_aug, images, sizes, gt)
+            images, gt_aug = apply_weak_aug(rng_aug, images, sizes, gt, flip)
             batch = DetectionBatch(images=images, sizes=sizes, gt=gt_aug)
 
             def loss_fn(params):

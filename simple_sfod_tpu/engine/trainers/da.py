@@ -29,7 +29,7 @@ from ...structures.instances import Instances
 from ...solver.build import apply_gradients
 from ..train_state import TrainState
 from . import register_trainer
-from .base import BaseTrainer, apply_weak_aug
+from .base import BaseTrainer, _flip_enabled, apply_weak_aug
 
 
 class _DATrainerBase(BaseTrainer):
@@ -80,6 +80,7 @@ class _DATrainerBase(BaseTrainer):
         det_cfg = self.det_cfg
         cfg = self.cfg
         optimizer = self.optimizer
+        flip = _flip_enabled(self.cfg)
         w_img = float(cfg.DA_FASTER.DC_IMG_GRL_WEIGHT)
         w_ins = float(cfg.DA_FASTER.DC_INS_GRL_WEIGHT)
         w_cst = float(cfg.DA_FASTER.DC_CONSISTENCY_WEIGHT)
@@ -147,7 +148,7 @@ class _DATrainerBase(BaseTrainer):
             tgt_images = tgt_images.astype(jnp.float32)
             rng = jax.random.fold_in(rng, state.step)
             k_flip, k_sup, k_dc_s, k_dc_t = jax.random.split(rng, 4)
-            src_images, src_gt = apply_weak_aug(k_flip, src_images, src_sizes, src_gt)
+            src_images, src_gt = apply_weak_aug(k_flip, src_images, src_sizes, src_gt, flip)
 
             def loss_fn(params):
                 variables = {"params": params["det"], "batch_stats": state.batch_stats}

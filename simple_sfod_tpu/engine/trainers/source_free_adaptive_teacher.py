@@ -37,7 +37,7 @@ from ...structures.instances import Instances
 from ...solver.build import apply_gradients
 from ..train_state import AdaptiveThresholdState, TeacherStudentState, ema_update
 from . import register_trainer
-from .base import BaseTrainer, apply_weak_aug
+from .base import BaseTrainer, _flip_enabled, apply_weak_aug
 
 # Cityscapes classes 0 (person) and 2 (car) are pinned to acc=1 by the
 # reference's update_adaptive_threshold (sfat.py:304-309): dominant classes
@@ -59,6 +59,21 @@ class SourceFreeAdaptiveTeacherTrainer(BaseTrainer):
         self.ins_dc_enabled = self.dc_enabled and (
             bool(cfg.SEMISUPNET.INS_DC) or bool(cfg.DOMAIN_CLASSIFIER.INSTANCE)
         )
+        # fail loudly on settable-but-unsupported values instead of silently
+        # diverging: the reference raises on unknown PSEUDO_BBOX_SAMPLE too
+        # (sfat.py process_pseudo_label), and DIS_TYPE selects the image-DC
+        # input feature (meta_arch :68) — we wire the DC to the heads'
+        # in_feature, which every shipped reference YAML sets DIS_TYPE to
+        if cfg.SEMISUPNET.PSEUDO_BBOX_SAMPLE != "thresholding":
+            raise ValueError(
+                f"Unknown pseudo label boxes methods {cfg.SEMISUPNET.PSEUDO_BBOX_SAMPLE}"
+            )
+        if self.dc_enabled and cfg.SEMISUPNET.DIS_TYPE != cfg.MODEL.ROI_HEADS.IN_FEATURES[0]:
+            raise ValueError(
+                f"SEMISUPNET.DIS_TYPE={cfg.SEMISUPNET.DIS_TYPE!r} must equal the heads' "
+                f"in-feature {cfg.MODEL.ROI_HEADS.IN_FEATURES[0]!r} (the image DC consumes "
+                "the shared backbone feature)"
+            )
         super().__init__(cfg, synthetic=synthetic)
 
     # -- state ---------------------------------------------------------------
@@ -166,6 +181,7 @@ class SourceFreeAdaptiveTeacherTrainer(BaseTrainer):
         det_cfg = self.det_cfg
         cfg = self.cfg
         optimizer = self.optimizer
+        flip = _flip_enabled(self.cfg)
         bbox_threshold = float(cfg.SEMISUPNET.BBOX_THRESHOLD)
         unsup_w = float(cfg.SEMISUPNET.UNSUP_LOSS_WEIGHT)
         dis_w = float(cfg.SEMISUPNET.DIS_LOSS_WEIGHT)
@@ -285,7 +301,7 @@ class SourceFreeAdaptiveTeacherTrainer(BaseTrainer):
             dummy_gt = jax.tree.map(
                 lambda x: jnp.broadcast_to(x[None], (images.shape[0],) + x.shape), dummy_gt
             )
-            images_w, _ = apply_weak_aug(rng_flip, images, sizes, dummy_gt)
+            images_w, _ = apply_weak_aug(rng_flip, images, sizes, dummy_gt, flip)
 
             # 2. strong/enhanced view, derived on device. STYLE.ENABLED:
             # AdaIN style enhancement of the student view toward the fog

@@ -21,7 +21,7 @@ from ...structures.instances import Instances
 from ...solver.build import apply_gradients
 from ..train_state import TrainState
 from . import register_trainer
-from .base import BaseTrainer, apply_weak_aug
+from .base import BaseTrainer, _flip_enabled, apply_weak_aug
 
 
 class WQTrainer(BaseTrainer):
@@ -30,13 +30,14 @@ class WQTrainer(BaseTrainer):
     def _build_train_step(self):
         det = self.detector
         optimizer = self.optimizer
+        flip = _flip_enabled(self.cfg)
         aug = self.aug
 
         def step_fn(state: TrainState, images, sizes, gt: Instances, rng):
             images = images.astype(jnp.float32)
             rng = jax.random.fold_in(rng, state.step)
             rng_flip, rng_mix, rng_strong, rng_loss = jax.random.split(rng, 4)
-            images, gt = apply_weak_aug(rng_flip, images, sizes, gt)
+            images, gt = apply_weak_aug(rng_flip, images, sizes, gt, flip)
             if aug in ("mosaic", "mosaic_wq"):
                 images, gt = mosaic_batch(rng_mix, images, gt)
                 sizes = jnp.broadcast_to(

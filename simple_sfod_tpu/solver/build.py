@@ -5,8 +5,10 @@ SOLVER.FACTOR_LIST, e.g. faster_rcnn_VGG_..._source_free.yaml:35-37)."""
 
 from __future__ import annotations
 
+import re
 from typing import NamedTuple, Sequence
 
+import jax
 import jax.numpy as jnp
 import optax
 from jax.flatten_util import ravel_pytree
@@ -19,12 +21,17 @@ def warmup_multistep_schedule(
     factor_list: Sequence[float] = None,
     warmup_iters: int = 1000,
     warmup_factor: float = 1.0 / 1000,
+    warmup_method: str = "linear",
 ):
     """LR(it) = base * factor(it) * warmup(it).
 
     factor(it): with factor_list given (reference semantics), the factor is
     factor_list[bisect(steps, it)]; otherwise detectron2's gamma**k.
+    warmup_method: d2's "linear" (ramp from warmup_factor to 1) or
+    "constant" (flat warmup_factor until warmup_iters).
     """
+    if warmup_method not in ("linear", "constant"):
+        raise ValueError(f"unknown SOLVER.WARMUP_METHOD {warmup_method!r}")
     steps = list(steps)
     if factor_list is not None and len(factor_list) >= 1:
         factors = list(factor_list)
@@ -38,8 +45,11 @@ def warmup_multistep_schedule(
     def schedule(count):
         idx = jnp.sum(count >= boundaries)
         factor = factors_arr[idx]
-        alpha = jnp.clip(count / max(warmup_iters, 1), 0.0, 1.0)
-        warm = warmup_factor * (1 - alpha) + alpha
+        if warmup_method == "constant":
+            warm = jnp.where(count < warmup_iters, warmup_factor, 1.0)
+        else:
+            alpha = jnp.clip(count / max(warmup_iters, 1), 0.0, 1.0)
+            warm = warmup_factor * (1 - alpha) + alpha
         return base_lr * factor * warm
 
     return schedule
@@ -115,6 +125,72 @@ def fused_sgd(schedule, momentum: float, weight_decay: float, clip_value=None) -
     return FusedSGD(init=init, update=update, apply=apply)
 
 
+def backbone_freeze_mask(params, freeze_at: int):
+    """Pytree of bools: True = frozen leaf (update must be zero).
+
+    detectron2 semantics (ResNet.freeze, applied by build_resnet_backbone
+    with cfg.MODEL.BACKBONE.FREEZE_AT, d2 default 2): stage 1 is the stem,
+    stage s>=2 is res{s}; everything with stage <= freeze_at is frozen —
+    no gradient, no weight decay. The reference's VGG backbone never calls
+    freeze, and VGG param names don't match the stem/res patterns, so VGG
+    configs are unaffected — same as the reference."""
+    pat = re.compile(r"^res(\d)_block")
+
+    def frozen(path) -> bool:
+        for p in path:
+            name = str(getattr(p, "key", p))
+            if name.startswith("stem") and freeze_at >= 1:
+                return True
+            m = pat.match(name)
+            if m and int(m.group(1)) <= freeze_at:
+                return True
+        return False
+
+    return jax.tree_util.tree_map_with_path(lambda path, _: frozen(path), params)
+
+
+def _zero_frozen(updates, params, freeze_at: int):
+    mask = backbone_freeze_mask(params, freeze_at)
+    return jax.tree.map(
+        lambda u, f: jnp.zeros_like(u) if f else u, updates, mask
+    )
+
+
+def with_frozen(base, freeze_at: int):
+    """Freeze backbone stages <= freeze_at: grads are zeroed going in (clean
+    momentum) and updates/params coming out (kills weight decay too), so
+    frozen leaves are bit-identical across steps — d2's requires_grad=False."""
+    if freeze_at <= 0:
+        return base
+
+    if isinstance(base, FusedSGD):
+        def apply(grads, state, params):
+            new_params, new_state = base.apply(
+                _zero_frozen(grads, params, freeze_at), state, params
+            )
+            mask = backbone_freeze_mask(params, freeze_at)
+            new_params = jax.tree.map(
+                lambda old, new, f: old if f else new, params, new_params, mask
+            )
+            return new_params, new_state
+
+        def update(grads, state, params):
+            updates, new_state = base.update(
+                _zero_frozen(grads, params, freeze_at), state, params
+            )
+            return _zero_frozen(updates, params, freeze_at), new_state
+
+        return FusedSGD(init=base.init, update=update, apply=apply)
+
+    def update(grads, state, params=None):
+        updates, new_state = base.update(
+            _zero_frozen(grads, params, freeze_at), state, params
+        )
+        return _zero_frozen(updates, params, freeze_at), new_state
+
+    return optax.GradientTransformation(base.init, update)
+
+
 def apply_gradients(optimizer, grads, opt_state, params):
     """(new_params, new_opt_state) — the one call every jitted step makes.
     Uses the fused flat path when the optimizer provides one."""
@@ -133,19 +209,24 @@ def build_optimizer(cfg) -> optax.GradientTransformation:
         cfg.SOLVER.FACTOR_LIST if len(cfg.SOLVER.FACTOR_LIST) else None,
         cfg.SOLVER.WARMUP_ITERS,
         cfg.SOLVER.WARMUP_FACTOR,
+        cfg.SOLVER.WARMUP_METHOD,
     )
+    freeze_at = int(cfg.MODEL.BACKBONE.FREEZE_AT)
     if getattr(cfg.SOLVER, "FUSED", True):
-        return fused_sgd(
-            schedule,
-            momentum=cfg.SOLVER.MOMENTUM,
-            weight_decay=cfg.SOLVER.WEIGHT_DECAY,
-            clip_value=cfg.SOLVER.CLIP_GRADIENTS.CLIP_VALUE
-            if cfg.SOLVER.CLIP_GRADIENTS.ENABLED
-            else None,
+        return with_frozen(
+            fused_sgd(
+                schedule,
+                momentum=cfg.SOLVER.MOMENTUM,
+                weight_decay=cfg.SOLVER.WEIGHT_DECAY,
+                clip_value=cfg.SOLVER.CLIP_GRADIENTS.CLIP_VALUE
+                if cfg.SOLVER.CLIP_GRADIENTS.ENABLED
+                else None,
+            ),
+            freeze_at,
         )
     chain = []
     if cfg.SOLVER.CLIP_GRADIENTS.ENABLED:
         chain.append(optax.clip(cfg.SOLVER.CLIP_GRADIENTS.CLIP_VALUE))
     chain.append(optax.add_decayed_weights(cfg.SOLVER.WEIGHT_DECAY))
     chain.append(optax.sgd(schedule, momentum=cfg.SOLVER.MOMENTUM))
-    return optax.chain(*chain)
+    return with_frozen(optax.chain(*chain), freeze_at)

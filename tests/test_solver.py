@@ -60,3 +60,83 @@ def test_fused_update_is_optax_compatible():
     via_apply, _ = fused.apply(grads, fused.init(params), params)
     for a, b in zip(jax.tree.leaves(via_updates), jax.tree.leaves(via_apply)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-6)
+
+
+class TestWarmupMethod:
+    def test_constant_warmup(self):
+        lin = warmup_multistep_schedule(1.0, [100], warmup_iters=10, warmup_factor=0.1)
+        const = warmup_multistep_schedule(
+            1.0, [100], warmup_iters=10, warmup_factor=0.1, warmup_method="constant"
+        )
+        assert float(const(0)) == pytest.approx(0.1)
+        assert float(const(9)) == pytest.approx(0.1)
+        assert float(const(10)) == pytest.approx(1.0)
+        assert float(lin(5)) == pytest.approx(0.1 * 0.5 + 0.5)
+
+    def test_unknown_method_rejected(self):
+        with pytest.raises(ValueError, match="WARMUP_METHOD"):
+            warmup_multistep_schedule(1.0, [100], warmup_method="cosine")
+
+
+class TestBackboneFreeze:
+    """MODEL.BACKBONE.FREEZE_AT (d2 semantics: stem=stage1, res{s}=stage s;
+    frozen stages get neither gradient nor weight decay)."""
+
+    def _params(self):
+        mk = lambda: {"kernel": jnp.ones((2, 2)), "bias": jnp.ones((2,))}
+        return {
+            "det": {
+                "backbone": {
+                    "stem_conv": mk(),
+                    "res2_block0": {"conv1": mk()},
+                    "res3_block0": {"conv1": mk()},
+                },
+                "rpn_head": {"conv": mk()},
+            }
+        }
+
+    @pytest.mark.parametrize("fused", [False, True])
+    def test_freeze_at_2_pins_stem_and_res2(self, fused):
+        from simple_sfod_tpu.solver.build import fused_sgd, with_frozen
+
+        schedule = lambda c: 1e-2
+        base = (
+            fused_sgd(schedule, momentum=0.9, weight_decay=1e-4)
+            if fused
+            else optax.chain(
+                optax.add_decayed_weights(1e-4), optax.sgd(schedule, momentum=0.9)
+            )
+        )
+        opt = with_frozen(base, 2)
+        params = self._params()
+        state = opt.init(params)
+        grads = jax.tree.map(jnp.ones_like, params)
+        new_params, _ = apply_gradients(opt, grads, state, params)
+
+        def flat(d, prefix=""):
+            out = {}
+            for k, v in d.items():
+                if isinstance(v, dict):
+                    out.update(flat(v, prefix + k + "/"))
+                else:
+                    out[prefix + k] = v
+            return out
+
+        before, after = flat(params), flat(new_params)
+        for k in before:
+            delta = float(jnp.abs(after[k] - before[k]).max())
+            if "stem" in k or "res2_block" in k:
+                assert delta == 0.0, f"{k} should be frozen"
+            else:
+                assert delta > 0.0, f"{k} should train"
+
+    def test_freeze_mask_paths(self):
+        from simple_sfod_tpu.solver.build import backbone_freeze_mask
+
+        params = self._params()
+        mask3 = backbone_freeze_mask(params, 3)
+        assert mask3["det"]["backbone"]["res3_block0"]["conv1"]["kernel"]
+        assert not mask3["det"]["rpn_head"]["conv"]["kernel"]
+        mask1 = backbone_freeze_mask(params, 1)
+        assert mask1["det"]["backbone"]["stem_conv"]["kernel"]
+        assert not mask1["det"]["backbone"]["res2_block0"]["conv1"]["kernel"]

@@ -108,6 +108,7 @@ class TestSFATStep:
                 "MODEL.ROI_HEADS.IN_FEATURES": ("tiny1",),
             },
         )
+        cfg.SEMISUPNET.DIS_TYPE = "tiny1"
         cfg.DOMAIN_CLASSIFIER.ENABLED = True
         cfg.DOMAIN_CLASSIFIER.INSTANCE = True
         tr = build_trainer(cfg, synthetic=True)
@@ -148,6 +149,7 @@ class TestAdaptiveTeacherStep:
         )
         cfg.SEMISUPNET.BURN_UP_STEP = 1
         cfg.SEMISUPNET.EMA_KEEP_RATE = 0.9
+        cfg.SEMISUPNET.DIS_TYPE = "tiny1"
         cfg.DOMAIN_CLASSIFIER.ENABLED = True
         cfg.DOMAIN_CLASSIFIER.INSTANCE = True
         tr = build_trainer(cfg, synthetic=True)
