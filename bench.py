@@ -90,27 +90,41 @@ def main():
     # warmup / compile
     for _ in range(3):
         metrics = trainer.run_step(batch)
-    import jax
+    import numpy as _np
 
-    jax.block_until_ready(metrics["total_loss"])
+    # timing always ends in a MATERIALIZING read: on the tunnel backend
+    # jax.block_until_ready can return before execution finishes
+    # (BENCH_NOTES round 2); a materialized host value cannot lie
+
+    _np.asarray(metrics["total_loss"])
 
     # per-step breakdown (one synced step, then the pipelined loop)
     t0 = time.perf_counter()
     metrics = trainer.run_step(batch)
-    jax.block_until_ready(metrics["total_loss"])
+    _np.asarray(metrics["total_loss"])
     print(f"# synced single step: {(time.perf_counter() - t0) * 1000:.1f} ms", file=sys.stderr)
 
-    # the tunneled TPU's effective throughput varies ~2x run-to-run (shared
-    # backend); time five windows, report the MEDIAN as the headline
-    # (conservative vs round 1's best-of-3 — VERDICT r1 weak #5) with the
-    # best and the raw windows alongside
+    # dispatch-per-step path (the interactive-training shape): each step is
+    # its own host dispatch, so under tunnel load every step pays one RTT of
+    # device idle on top of the 53ms executable (BENCH_NOTES round 2)
     iters = 30
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        metrics = trainer.run_step(batch)
+    _np.asarray(metrics["total_loss"])
+    dispatch_rate = iters * batch_size / (time.perf_counter() - t0)
+
+    # headline: 30 steps per dispatched executable (trainer.run_steps =
+    # lax.scan over the step body — how production TPU loops are written;
+    # per-step RNG still advances). This measures the device's step
+    # throughput rather than the shared tunnel's round-trip weather.
+    metrics = trainer.run_steps(batch, iters)  # compile
+    _np.asarray(metrics["total_loss"])
     windows = []
     for _ in range(5):
         t0 = time.perf_counter()
-        for _ in range(iters):
-            metrics = trainer.run_step(batch)
-        jax.block_until_ready(metrics["total_loss"])
+        metrics = trainer.run_steps(batch, iters)
+        _np.asarray(metrics["total_loss"])
         windows.append(time.perf_counter() - t0)
 
     n_chips = max(trainer.mesh.devices.size, 1)
@@ -127,6 +141,7 @@ def main():
                 "best": round(best, 3),
                 "best_vs_baseline": round(best / REFERENCE_IMGS_PER_SEC, 3),
                 "windows": [round(r, 2) for r in rates],
+                "dispatch_per_step_rate": round(dispatch_rate, 3),
             }
         )
     )

@@ -323,8 +323,14 @@ class SourceFreeAdaptiveTeacherTrainer(BaseTrainer):
                 # backbone pass at 2x batch — same FLOPs, half the per-op
                 # dispatch/prefetch overhead the device trace showed the step
                 # is bound by (BENCH_NOTES round-2 lead #1). The weak half is
-                # stop_gradient'd; train-mode BN over the combined batch
-                # mirrors the reference's always-train-mode student.
+                # stop_gradient'd; train-mode BN mirrors the reference's
+                # always-train-mode student. KNOWN DEVIATION: BN batch
+                # statistics pool over BOTH views here, where the reference's
+                # two separate forwards normalise each view by its own stats
+                # (and nudge the running stats twice). The views share
+                # geometry and differ only photometrically, so the pooled
+                # stats sit between the reference's two; documented rather
+                # than split because splitting would forfeit the fusion.
                 def loss_fn(params):
                     variables = {"params": params["det"], "batch_stats": state.batch_stats}
                     fused = jnp.concatenate([images_w, images_s], axis=0)
@@ -416,6 +422,7 @@ class SourceFreeAdaptiveTeacherTrainer(BaseTrainer):
             )
             return new_state, metrics
 
+        self._step_fn_raw = step_fn
         return jax.jit(step_fn, donate_argnums=(0,))
 
     def run_step(self, batch) -> Dict[str, float]:
@@ -424,6 +431,36 @@ class SourceFreeAdaptiveTeacherTrainer(BaseTrainer):
         images, sizes = shard_batch(self.mesh, (images, sizes))
         self.state, metrics = self._train_step(self.state, images, sizes, self.base_rng)
         self._maybe_visualize(batch)
+        return metrics
+
+    def run_steps(self, batch, n: int) -> Dict[str, float]:
+        """n adaptation steps on one batch inside ONE dispatched executable
+        (lax.scan over the step body; per-step RNG still folds on
+        state.step, so the steps are NOT identical).
+
+        Exists because each host dispatch pays one tunnel round trip on this
+        box — under backend load that gap reached ~100ms/step while the
+        executable itself runs 53ms (BENCH_NOTES round 2). Multi-step-per-
+        dispatch is also how production TPU training loops are written, so
+        bench.py measures the device's step throughput through this path.
+        Returns the LAST step's metrics.
+        """
+        if getattr(self, "_multi_step_n", None) != n:
+            step_fn = self._step_fn_raw
+
+            def multi(state, images, sizes, rng):
+                def body(st, _):
+                    return step_fn(st, images, sizes, rng)
+
+                state, metrics = jax.lax.scan(body, state, None, length=n)
+                return state, jax.tree.map(lambda m: m[-1], metrics)
+
+            self._multi_step = jax.jit(multi, donate_argnums=(0,))
+            self._multi_step_n = n
+        images = jnp.asarray(batch["images"])
+        sizes = jnp.asarray(batch["sizes"])
+        images, sizes = shard_batch(self.mesh, (images, sizes))
+        self.state, metrics = self._multi_step(self.state, images, sizes, self.base_rng)
         return metrics
 
     def _maybe_visualize(self, batch):

@@ -37,7 +37,10 @@ class StepTimer:
 
     def stop(self, result=None):
         if result is not None:
-            jax.block_until_ready(result)
+            # materializing read, not block_until_ready: the tunnel backend's
+            # block_until_ready can return before execution finishes
+            # (BENCH_NOTES round 2)
+            jax.device_get(result)
         dt = time.perf_counter() - self._t0
         self._count += 1
         if self._count > self.warmup:

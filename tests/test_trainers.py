@@ -125,6 +125,32 @@ class TestSFATStep:
         )
         assert max(jax.tree.leaves(moved)) > 0
 
+    def test_run_steps_scan_advances_like_run_step(self):
+        """run_steps(batch, n) = n steps in ONE dispatched executable
+        (lax.scan). Guard: state advances n steps, RNG folds per step (the
+        scanned steps are not clones), metrics are the last step's."""
+        cfg = tiny_cfg(
+            "source_free_adaptive_teacher",
+            **{
+                "MODEL.BACKBONE.NAME": "build_tiny_backbone",
+                "MODEL.RPN.IN_FEATURES": ("tiny1",),
+                "MODEL.ROI_HEADS.IN_FEATURES": ("tiny1",),
+            },
+        )
+        tr = build_trainer(cfg, synthetic=True)
+        batch = one_batch(tr.cfg, tr.build_train_loader())
+        m = tr.run_steps(batch, 3)
+        assert int(tr.state.step) == 3
+        assert int(tr.state.thresh.cursor) == 3
+        assert np.isfinite(float(m["total_loss"]))
+        # reference run: fresh trainer, 3 single dispatches, same batch/rng
+        tr2 = build_trainer(cfg, synthetic=True)
+        for _ in range(3):
+            m2 = tr2.run_step(batch)
+        np.testing.assert_allclose(
+            float(m["total_loss"]), float(m2["total_loss"]), rtol=1e-5
+        )
+
     def test_pinned_classes_acc_is_one(self):
         tr = build_trainer(tiny_cfg("source_free_adaptive_teacher"), synthetic=True)
         batch = one_batch(tr.cfg, tr.build_train_loader())

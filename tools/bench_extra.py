@@ -1,0 +1,142 @@
+#!/usr/bin/env python
+"""Secondary benchmarks (the driver's headline stays bench.py):
+
+  inference  — eval-path throughput (backbone->RPN->ROI->NMS, batch 1),
+               the Trainer.test / AdaBN workload shape
+  batch4     — SFAT adaptation step at 4 imgs/chip: the per-chip batching
+               headroom beyond the reference's batch-1 workload
+
+Usage: python tools/bench_extra.py [inference|batch4|all]
+Prints one JSON line per benchmark; results recorded in BENCH_NOTES.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def _trainer(batch_target: int):
+    from simple_sfod_tpu.config import get_cfg
+    from simple_sfod_tpu.engine.trainers import build_trainer
+
+    cfg = get_cfg()
+    cfg.TRAINER = "source_free_adaptive_teacher"
+    cfg.MODEL.BACKBONE.NAME = "build_vgg_backbone"
+    cfg.MODEL.RPN.IN_FEATURES = ("vgg4",)
+    cfg.MODEL.ROI_HEADS.IN_FEATURES = ("vgg4",)
+    cfg.MODEL.ROI_HEADS.NUM_CLASSES = 8
+    cfg.VGG.BN = True
+    cfg.SEMISUPNET.BBOX_THRESHOLD = 0.8
+    cfg.SOLVER.IMS_PER_BATCH_TARGET = batch_target
+    cfg.TPU.CANVAS = (608, 1216)
+    cfg.TPU.DTYPE = "bfloat16"
+    cfg.SEED = 0
+    cfg.OUTPUT_DIR = "/tmp/bench_extra_out"
+    cfg.SOLVER.CHECKPOINT_PERIOD = 0
+    cfg.TEST.EVAL_PERIOD = 0
+    cfg.freeze()
+    return build_trainer(cfg, synthetic=True), cfg
+
+
+def _batch(cfg, n):
+    import numpy as np
+
+    rs = np.random.RandomState(0)
+    return {
+        "images": rs.uniform(0, 255, (n, *cfg.TPU.CANVAS, 3)).astype(np.uint8),
+        "sizes": np.tile(np.asarray([[600, 1200]], np.int32), (n, 1)),
+    }
+
+
+def _rate(fn, block, n_imgs, iters=30, windows=5):
+    """NB: timing ends with a MATERIALIZING read (np.asarray), never
+    jax.block_until_ready — on the tunnel backend block_until_ready can
+    return before execution finishes (measured ~0.2ms/call 'rates' for a
+    37ms computation; BENCH_NOTES round 2)."""
+    import numpy as np
+
+    for _ in range(3):
+        out = fn()
+    np.asarray(block(out))
+    rates = []
+    for _ in range(windows):
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = fn()
+        np.asarray(block(out))
+        rates.append(iters * n_imgs / (time.perf_counter() - t0))
+    rates.sort()
+    return rates[len(rates) // 2], rates[-1], [round(r, 2) for r in rates]
+
+
+def bench_inference():
+    """Pipelined eval-path throughput over DISTINCT inputs. Identical
+    repeated inputs are useless here: the tunnel backend memoizes
+    (executable, inputs) pairs and reports physically impossible rates
+    (measured 0.2ms/call vs ~37ms real — BENCH_NOTES round 2)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    trainer, cfg = _trainer(1)
+    sizes = jnp.asarray([[600, 1200]], jnp.int32)
+    variables = trainer.state.teacher_variables()
+    # eps is a fresh scalar input every call: same compute, distinct
+    # (executable, inputs) key, so the backend cannot serve a cached result
+    infer = jax.jit(lambda v, i, s, eps: trainer.detector.infer(v, i + eps, s))
+    rs = np.random.RandomState(0)
+    image = jnp.asarray(rs.uniform(0, 255, (1, *cfg.TPU.CANVAS, 3)).astype(np.float32))
+    step = [0]
+
+    def call():
+        step[0] += 1
+        return infer(variables, image, sizes, jnp.float32(step[0] * 1e-6))
+
+    out = [call() for _ in range(4)]
+    [np.asarray(o.scores) for o in out]
+    rates = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        out = [call() for _ in range(32)]
+        # enqueue everything first (pipelined), then materialize each output
+        [np.asarray(o.scores) for o in out]
+        rates.append(32 / (time.perf_counter() - t0))
+    rates.sort()
+    print(json.dumps({
+        "metric": "inference_imgs_per_sec_per_chip",
+        "value": round(rates[len(rates) // 2], 3), "unit": "imgs/s/chip",
+        "best": round(rates[-1], 3), "windows": [round(r, 2) for r in rates],
+    }))
+
+
+def bench_batch4():
+    trainer, cfg = _trainer(4)
+    batch = _batch(cfg, 4)
+    median, best, windows = _rate(
+        lambda: trainer.run_step(batch), lambda m: m["total_loss"], 4, iters=10
+    )
+    print(json.dumps({
+        "metric": "sfat_adaptation_imgs_per_sec_per_chip_batch4",
+        "value": round(median, 3), "unit": "imgs/s/chip",
+        "best": round(best, 3), "windows": windows,
+    }))
+
+
+def main():
+    from simple_sfod_tpu.utils.env import setup_cache
+
+    setup_cache()
+    which = sys.argv[1] if len(sys.argv) > 1 else "all"
+    if which in ("inference", "all"):
+        bench_inference()
+    if which in ("batch4", "all"):
+        bench_batch4()
+
+
+if __name__ == "__main__":
+    main()
