@@ -306,7 +306,7 @@ class BaseTrainer:
         (reference reset_bn_stats, base.py:318-328)."""
         self.state = self.state.replace(batch_stats=reset_bn_tree(self.state.batch_stats))
 
-    def test_refinement(self, max_batches: int = 1400, loader=None) -> Dict:
+    def test_refinement(self, max_batches: int = 1400, loader=None, chunk: int = 16) -> Dict:
         """BN refinement WITHOUT a statistics reset, then test, then save
         "adabn" — the reference's `train_net.py --eval-only` workload
         (train_net.py:79 -> base.py:270-315): up to 1400 train-mode forward
@@ -318,10 +318,37 @@ class BaseTrainer:
         bn_step = jax.jit(
             lambda variables, images: self.detector.bn_update(variables, images)
         )
-        for i, batch in enumerate(loader):
-            if i >= max_batches:
+        # CHUNK batches per dispatched executable (lax.scan over the stacked
+        # chunk): each host dispatch pays one tunnel RTT of device idle on
+        # this box (BENCH_NOTES round 2), so 1400 per-batch dispatches are
+        # dominated by round trips. Statistics are sequentially identical to
+        # the per-batch path (tests/test_trainers.py guards equality).
+
+        def bn_many(variables, images_stack):
+            def body(stats, imgs):
+                new = self.detector.bn_update(
+                    {**variables, "batch_stats": stats}, imgs
+                )
+                return new, None
+
+            stats, _ = jax.lax.scan(body, variables["batch_stats"], images_stack)
+            return stats
+
+        bn_chunk = jax.jit(bn_many)
+        pending = []
+        taken = 0
+        for batch in loader:
+            if taken >= max_batches:
                 break
-            new_stats = bn_step(self.state.variables(), jnp.asarray(batch["images"]))
+            pending.append(np.asarray(batch["images"]))
+            taken += 1
+            if len(pending) == chunk:
+                stack = jnp.asarray(np.stack(pending))
+                new_stats = bn_chunk(self.state.variables(), stack)
+                self.state = self.state.replace(batch_stats=new_stats)
+                pending = []
+        for images in pending:  # tail smaller than one chunk
+            new_stats = bn_step(self.state.variables(), jnp.asarray(images))
             self.state = self.state.replace(batch_stats=new_stats)
         results = self.test()
         self.checkpointer.save("adabn", self.state)

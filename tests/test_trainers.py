@@ -270,6 +270,32 @@ class TestAdaBN:
         ]
         assert any(np.abs(m).max() > 0 for m in means2)
 
+    def test_chunked_refinement_matches_per_batch(self):
+        """The scan-chunked BN refinement (one dispatch per 2 batches here)
+        must produce exactly the per-batch statistics sequence."""
+        cfg = tiny_cfg(
+            "base",
+            **{
+                "MODEL.BACKBONE.NAME": "build_tiny_backbone",
+                "MODEL.RPN.IN_FEATURES": ("tiny1",),
+                "MODEL.ROI_HEADS.IN_FEATURES": ("tiny1",),
+            },
+        )
+        cfg.TEST.EVAL_PERIOD = 0
+        a = build_trainer(cfg, synthetic=True)
+        b = build_trainer(cfg, synthetic=True)
+        a.test = lambda *args, **kw: {}  # skip the eval stage; stats are the subject
+        b.test = lambda *args, **kw: {}
+        a.test_refinement(max_batches=4, chunk=2)      # 2 scan chunks
+        b.test_refinement(max_batches=4, chunk=99)     # all tail = per-batch
+        for (pa, va), (pb, vb) in zip(
+            jax.tree_util.tree_leaves_with_path(a.state.batch_stats),
+            jax.tree_util.tree_leaves_with_path(b.state.batch_stats),
+        ):
+            np.testing.assert_allclose(
+                np.asarray(va), np.asarray(vb), rtol=1e-6, atol=1e-7, err_msg=str(pa)
+            )
+
     def test_test_refinement_drifts_without_reset_and_saves_adabn(self):
         """train_net.py --eval-only semantics (reference base.py:270-315):
         BN stats drift from their CURRENT values (no reset), the eval runs,
