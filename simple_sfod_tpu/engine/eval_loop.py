@@ -3,6 +3,7 @@
 
 from __future__ import annotations
 
+import collections
 from typing import Dict, Optional
 
 import jax
@@ -31,7 +32,13 @@ def inference_on_dataset(
     (`coco_instances_results.json`, the input of
     tools/converters/prediction_to_gt.py — stage 1 of the fixed-pseudo-label
     pipeline, SURVEY §3.5). category_ids maps contiguous ids back to the
-    dataset's COCO category ids (default: +1)."""
+    dataset's COCO category ids (default: +1).
+
+    Dispatch is pipelined: a few batches stay in flight on the device while
+    earlier results are materialized and post-processed — each materializing
+    read pays one tunnel round trip on this box (BENCH_NOTES round 2), so a
+    strictly serial dispatch/read loop is RTT-bound instead of device-bound.
+    """
     if evaluators is None:
         evaluators = [COCOEvaluator(thing_classes), F1Evaluator()]
     dump = [] if dump_json else None
@@ -42,8 +49,8 @@ def inference_on_dataset(
         )
 
     seen = set()
-    for batch in loader:
-        dets = jit_infer(variables, jnp.asarray(batch["images"]), jnp.asarray(batch["sizes"]))
+
+    def process(batch, dets):
         boxes = np.asarray(dets.boxes)
         scores = np.asarray(dets.scores)
         classes = np.asarray(dets.classes)
@@ -66,7 +73,7 @@ def inference_on_dataset(
             gt_keep = batch["gt_valid"][i]
             gt_boxes = batch["gt_boxes"][i][gt_keep] * inv
             if dump is not None:
-                for b, s, c in zip(file_boxes, scores[i][keep], classes[i][keep]):
+                for b, sc, c in zip(file_boxes, scores[i][keep], classes[i][keep]):
                     cat = category_ids.get(int(c), int(c) + 1) if category_ids else int(c) + 1
                     dump.append(
                         {
@@ -78,7 +85,7 @@ def inference_on_dataset(
                                 float(b[2] - b[0]),
                                 float(b[3] - b[1]),
                             ],
-                            "score": float(s),
+                            "score": float(sc),
                         }
                     )
             for ev in evaluators:
@@ -90,6 +97,18 @@ def inference_on_dataset(
                     gt_boxes,
                     batch["gt_classes"][i][gt_keep],
                 )
+
+    inflight = collections.deque()
+    depth = 4
+    for batch in loader:
+        dets = jit_infer(
+            variables, jnp.asarray(batch["images"]), jnp.asarray(batch["sizes"])
+        )
+        inflight.append((batch, dets))
+        if len(inflight) >= depth:
+            process(*inflight.popleft())
+    while inflight:
+        process(*inflight.popleft())
 
     if dump is not None:
         import json
