@@ -55,37 +55,16 @@ def main():
     from simple_sfod_tpu.utils.env import setup_cache
 
     setup_cache()
-    import numpy as np
 
-    from simple_sfod_tpu.config import get_cfg
     from simple_sfod_tpu.engine.trainers import build_trainer
+    from simple_sfod_tpu.utils.bench import sfat_bench_cfg, synthetic_bench_batch
 
-    cfg = get_cfg()
-    cfg.TRAINER = "source_free_adaptive_teacher"
-    cfg.MODEL.BACKBONE.NAME = "build_vgg_backbone"
-    cfg.MODEL.RPN.IN_FEATURES = ("vgg4",)
-    cfg.MODEL.ROI_HEADS.IN_FEATURES = ("vgg4",)
-    cfg.MODEL.ROI_HEADS.NUM_CLASSES = 8
-    cfg.VGG.BN = True
-    cfg.SEMISUPNET.BBOX_THRESHOLD = 0.8
-    cfg.SEMISUPNET.EMA_KEEP_RATE = 0.9996
-    cfg.SOLVER.IMS_PER_BATCH_TARGET = 1
-    cfg.TPU.CANVAS = (608, 1216)
-    cfg.TPU.DTYPE = "bfloat16"
-    cfg.SEED = 0
-    cfg.OUTPUT_DIR = "/tmp/bench_out"
-    cfg.SOLVER.CHECKPOINT_PERIOD = 0
-    cfg.TEST.EVAL_PERIOD = 0
-    cfg.freeze()
+    cfg = sfat_bench_cfg(output_dir="/tmp/bench_out")
 
     trainer = build_trainer(cfg, synthetic=True)
 
     batch_size = cfg.SOLVER.IMS_PER_BATCH_TARGET
-    rs = np.random.RandomState(0)
-    batch = {
-        "images": rs.uniform(0, 255, (batch_size, *cfg.TPU.CANVAS, 3)).astype(np.uint8),
-        "sizes": np.tile(np.asarray([[600, 1200]], np.int32), (batch_size, 1)),
-    }
+    batch = synthetic_bench_batch(cfg)
 
     # warmup / compile
     for _ in range(3):

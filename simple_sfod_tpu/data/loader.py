@@ -258,8 +258,9 @@ def build_train_loader(cfg, dataset_names=None, batch_size=None, seed=None, labe
         seed=cfg.SEED if seed is None else seed,
         input_format=cfg.INPUT.FORMAT,
         # DATALOADER.NUM_WORKERS maps to prefetch-queue depth: the torch
-        # worker-process pool becomes one decode thread + a bounded queue
-        **{"prefetch": max(2, int(cfg.DATALOADER.NUM_WORKERS)), **kw},
+        # worker-process pool becomes one decode thread + a bounded queue;
+        # 0 keeps d2's semantics (no background worker: synchronous loading)
+        **{"prefetch": int(cfg.DATALOADER.NUM_WORKERS), **kw},
     )
 
 

@@ -210,9 +210,10 @@ class AdaptiveTeacherTrainer(SourceFreeAdaptiveTeacherTrainer):
                 metrics,
             )
 
+        self._step_fn_raw = step_fn
         return jax.jit(step_fn, donate_argnums=(0,))
 
-    def run_step(self, batch) -> Dict[str, float]:
+    def _step_args(self, batch):
         if self.target_loader is None:
             self.target_loader = iter(self._build_target_loader())
         tgt = next(self.target_loader)
@@ -223,6 +224,31 @@ class AdaptiveTeacherTrainer(SourceFreeAdaptiveTeacherTrainer):
             jnp.asarray(tgt["images"]),
             jnp.asarray(tgt["sizes"]),
         )
-        args = shard_batch(self.mesh, args)
+        return shard_batch(self.mesh, args)
+
+    def run_step(self, batch) -> Dict[str, float]:
+        args = self._step_args(batch)
         self.state, metrics = self._train_step(self.state, *args, self.base_rng)
+        return metrics
+
+    def run_steps(self, batch, n: int) -> Dict[str, float]:
+        """n steps on one (source, target) pair inside ONE dispatched
+        executable — the AT-signature counterpart of the SFAT run_steps
+        (same rationale: one tunnel RTT per dispatch; BENCH_NOTES round 2)."""
+        if getattr(self, "_multi_step_n", None) != n:
+            step_fn = self._step_fn_raw
+
+            def multi(state, src_images, src_sizes, src_gt, tgt_images, tgt_sizes, rng):
+                def body(st, _):
+                    return step_fn(
+                        st, src_images, src_sizes, src_gt, tgt_images, tgt_sizes, rng
+                    )
+
+                state, metrics = jax.lax.scan(body, state, None, length=n)
+                return state, jax.tree.map(lambda m: m[-1], metrics)
+
+            self._multi_step = jax.jit(multi, donate_argnums=(0,))
+            self._multi_step_n = n
+        args = self._step_args(batch)
+        self.state, metrics = self._multi_step(self.state, *args, self.base_rng)
         return metrics

@@ -36,6 +36,12 @@ class _DATrainerBase(BaseTrainer):
     conditional = False  # CDA: multiply instance features by class probs
 
     def __init__(self, cfg, synthetic: bool = False):
+        if cfg.DA_FASTER.ENTROPY_CONDITIONING and not self.conditional:
+            raise ValueError(
+                "DA_FASTER.ENTROPY_CONDITIONING requires the conditional "
+                "trainer (TRAINER: cda) — the plain 'da' instance "
+                "discriminator has no class-probability condition to weight by"
+            )
         super().__init__(cfg, synthetic=synthetic)
         self.target_loader = None
 

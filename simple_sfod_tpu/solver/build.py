@@ -157,13 +157,27 @@ def _zero_frozen(updates, params, freeze_at: int):
 
 
 def with_frozen(base, freeze_at: int):
-    """Freeze backbone stages <= freeze_at: grads are zeroed going in (clean
-    momentum) and updates/params coming out (kills weight decay too), so
-    frozen leaves are bit-identical across steps — d2's requires_grad=False."""
+    """Freeze backbone stages <= freeze_at — d2's requires_grad=False:
+    frozen leaves are bit-identical across steps (no SGD step, no weight
+    decay) AND their optimizer state stays pristine (zero momentum).
+
+    optax path: masked composition — the inner chain only ever sees the
+    trainable leaves (its momentum state exists only for them), and frozen
+    leaves' updates are set to zero. FusedSGD path: grads are zeroed going
+    in, params restored coming out, and the flat momentum buffer is masked
+    to zero on the frozen segments so weight decay cannot pollute it."""
     if freeze_at <= 0:
         return base
 
     if isinstance(base, FusedSGD):
+        def _mu_mask(params):
+            per_leaf = backbone_freeze_mask(params, freeze_at)
+            full = jax.tree.map(
+                lambda p, f: jnp.full(p.shape, f, bool), params, per_leaf
+            )
+            flat, _ = ravel_pytree(full)
+            return flat
+
         def apply(grads, state, params):
             new_params, new_state = base.apply(
                 _zero_frozen(grads, params, freeze_at), state, params
@@ -172,23 +186,28 @@ def with_frozen(base, freeze_at: int):
             new_params = jax.tree.map(
                 lambda old, new, f: old if f else new, params, new_params, mask
             )
+            new_state = {**new_state, "mu": jnp.where(_mu_mask(params), 0.0, new_state["mu"])}
             return new_params, new_state
 
         def update(grads, state, params):
             updates, new_state = base.update(
                 _zero_frozen(grads, params, freeze_at), state, params
             )
+            new_state = {**new_state, "mu": jnp.where(_mu_mask(params), 0.0, new_state["mu"])}
             return _zero_frozen(updates, params, freeze_at), new_state
 
         return FusedSGD(init=base.init, update=update, apply=apply)
 
-    def update(grads, state, params=None):
-        updates, new_state = base.update(
-            _zero_frozen(grads, params, freeze_at), state, params
-        )
-        return _zero_frozen(updates, params, freeze_at), new_state
+    def trainable_mask(params):
+        return jax.tree.map(lambda f: not f, backbone_freeze_mask(params, freeze_at))
 
-    return optax.GradientTransformation(base.init, update)
+    def frozen_mask(params):
+        return backbone_freeze_mask(params, freeze_at)
+
+    return optax.chain(
+        optax.masked(base, trainable_mask),
+        optax.masked(optax.set_to_zero(), frozen_mask),
+    )
 
 
 def apply_gradients(optimizer, grads, opt_state, params):
@@ -212,7 +231,7 @@ def build_optimizer(cfg) -> optax.GradientTransformation:
         cfg.SOLVER.WARMUP_METHOD,
     )
     freeze_at = int(cfg.MODEL.BACKBONE.FREEZE_AT)
-    if getattr(cfg.SOLVER, "FUSED", True):
+    if getattr(cfg.SOLVER, "FUSED", False):
         return with_frozen(
             fused_sgd(
                 schedule,

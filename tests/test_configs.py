@@ -93,6 +93,15 @@ class TestUnsupportedKeysFailLoudly:
         with pytest.raises(ValueError, match="DIS_TYPE"):
             build_trainer(cfg, synthetic=True)
 
+    def test_entropy_conditioning_on_plain_da_rejected(self):
+        from simple_sfod_tpu.engine.trainers import build_trainer
+
+        cfg = self._base()
+        cfg.TRAINER = "da"
+        cfg.DA_FASTER.ENTROPY_CONDITIONING = True
+        with pytest.raises(ValueError, match="ENTROPY_CONDITIONING"):
+            build_trainer(cfg, synthetic=True)
+
     def test_vertical_flip_rejected(self):
         from simple_sfod_tpu.engine.trainers.base import _flip_enabled
 

@@ -130,6 +130,35 @@ class TestBackboneFreeze:
             else:
                 assert delta > 0.0, f"{k} should train"
 
+        # invariant: frozen leaves' momentum stays exactly zero (weight decay
+        # must not pollute it) — d2's requires_grad=False has no opt state
+        new_params2, state2 = apply_gradients(opt, grads, state, new_params)
+        if fused:
+            from jax.flatten_util import ravel_pytree
+            from simple_sfod_tpu.solver.build import backbone_freeze_mask
+
+            per_leaf = backbone_freeze_mask(new_params, 2)
+            full = jax.tree.map(
+                lambda p, f: jnp.full(p.shape, f, bool), new_params, per_leaf
+            )
+            mask_flat, _ = ravel_pytree(full)
+            assert float(jnp.abs(jnp.where(mask_flat, state2["mu"], 0.0)).max()) == 0.0
+        else:
+            # masked composition: the inner momentum tree only covers
+            # trainable leaves — frozen leaves have no momentum at all
+            import optax as _optax
+
+            inner = state2[0].inner_state  # MaskedState of the chained base
+            trace = [
+                leaf
+                for leaf in jax.tree.leaves(inner, is_leaf=lambda x: x is None)
+                if hasattr(leaf, "shape") and getattr(leaf, "ndim", 0) > 0
+            ]
+            n_trainable = len(
+                [1 for k in flat(new_params) if not ("stem" in k or "res2_block" in k)]
+            )
+            assert len(trace) == n_trainable
+
     def test_freeze_mask_paths(self):
         from simple_sfod_tpu.solver.build import backbone_freeze_mask
 

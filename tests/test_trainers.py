@@ -200,6 +200,26 @@ class TestAdaptiveTeacherStep:
         assert max(jax.tree.leaves(diff)) == 0
 
 
+    def test_run_steps_scan(self):
+        """AT's run_steps (its own signature: paired source/target args) runs
+        n steps in one dispatch — guards the inherited-API crash where the
+        SFAT wrapper couldn't drive the 7-arg AT step."""
+        cfg = tiny_cfg(
+            "adaptive_teacher",
+            **{
+                "MODEL.BACKBONE.NAME": "build_tiny_backbone",
+                "MODEL.RPN.IN_FEATURES": ("tiny1",),
+                "MODEL.ROI_HEADS.IN_FEATURES": ("tiny1",),
+            },
+        )
+        cfg.SEMISUPNET.BURN_UP_STEP = 1
+        tr = build_trainer(cfg, synthetic=True)
+        batch = one_batch(tr.cfg, tr.build_train_loader())
+        m = tr.run_steps(batch, 2)
+        assert int(tr.state.step) == 2
+        assert np.isfinite(float(m["total_loss"]))
+
+
 class TestWQStep:
     @pytest.mark.parametrize("trainer", ["base_wq", "base_mosaic", "base_mixup"])
     def test_step_runs(self, trainer):

@@ -21,36 +21,17 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
 def _trainer(batch_target: int):
-    from simple_sfod_tpu.config import get_cfg
     from simple_sfod_tpu.engine.trainers import build_trainer
+    from simple_sfod_tpu.utils.bench import sfat_bench_cfg
 
-    cfg = get_cfg()
-    cfg.TRAINER = "source_free_adaptive_teacher"
-    cfg.MODEL.BACKBONE.NAME = "build_vgg_backbone"
-    cfg.MODEL.RPN.IN_FEATURES = ("vgg4",)
-    cfg.MODEL.ROI_HEADS.IN_FEATURES = ("vgg4",)
-    cfg.MODEL.ROI_HEADS.NUM_CLASSES = 8
-    cfg.VGG.BN = True
-    cfg.SEMISUPNET.BBOX_THRESHOLD = 0.8
-    cfg.SOLVER.IMS_PER_BATCH_TARGET = batch_target
-    cfg.TPU.CANVAS = (608, 1216)
-    cfg.TPU.DTYPE = "bfloat16"
-    cfg.SEED = 0
-    cfg.OUTPUT_DIR = "/tmp/bench_extra_out"
-    cfg.SOLVER.CHECKPOINT_PERIOD = 0
-    cfg.TEST.EVAL_PERIOD = 0
-    cfg.freeze()
+    cfg = sfat_bench_cfg(batch_target=batch_target, output_dir="/tmp/bench_extra_out")
     return build_trainer(cfg, synthetic=True), cfg
 
 
 def _batch(cfg, n):
-    import numpy as np
+    from simple_sfod_tpu.utils.bench import synthetic_bench_batch
 
-    rs = np.random.RandomState(0)
-    return {
-        "images": rs.uniform(0, 255, (n, *cfg.TPU.CANVAS, 3)).astype(np.uint8),
-        "sizes": np.tile(np.asarray([[600, 1200]], np.int32), (n, 1)),
-    }
+    return synthetic_bench_batch(cfg, n)
 
 
 def _rate(fn, block, n_imgs, iters=30, windows=5):

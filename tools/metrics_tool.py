@@ -71,8 +71,9 @@ def main():
         return b, c
 
     wanted = {m.strip() for m in args.metrics.split(",") if m.strip()}
-    if args.html:
-        wanted.add("voc")  # the report's PR curves come from the VOC evaluator
+    if args.html and "voc" not in wanted:
+        print("[metrics] --html computes VOC PR curves: adding the voc metric", file=sys.stderr)
+        wanted.add("voc")
     curves = None
     results = {}
     if "coco" in wanted:

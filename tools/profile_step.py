@@ -19,36 +19,17 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
 def build_trainer(trainer_name: str):
-    from simple_sfod_tpu.config import get_cfg
     from simple_sfod_tpu.engine.trainers import build_trainer as _build
+    from simple_sfod_tpu.utils.bench import sfat_bench_cfg
 
-    cfg = get_cfg()
-    cfg.TRAINER = trainer_name
-    cfg.MODEL.BACKBONE.NAME = "build_vgg_backbone"
-    cfg.MODEL.RPN.IN_FEATURES = ("vgg4",)
-    cfg.MODEL.ROI_HEADS.IN_FEATURES = ("vgg4",)
-    cfg.MODEL.ROI_HEADS.NUM_CLASSES = 8
-    cfg.VGG.BN = True
-    cfg.SOLVER.IMS_PER_BATCH_TARGET = 1
-    cfg.TPU.CANVAS = (608, 1216)
-    cfg.TPU.DTYPE = "bfloat16"
-    cfg.SEED = 0
-    cfg.OUTPUT_DIR = "/tmp/profile_out"
-    cfg.SOLVER.CHECKPOINT_PERIOD = 0
-    cfg.TEST.EVAL_PERIOD = 0
-    cfg.freeze()
+    cfg = sfat_bench_cfg(trainer=trainer_name, output_dir="/tmp/profile_out")
     return _build(cfg, synthetic=True), cfg
 
 
 def synthetic_batch(cfg):
-    import numpy as np
+    from simple_sfod_tpu.utils.bench import synthetic_bench_batch
 
-    rs = np.random.RandomState(0)
-    b = cfg.SOLVER.IMS_PER_BATCH_TARGET
-    return {
-        "images": rs.uniform(0, 255, (b, *cfg.TPU.CANVAS, 3)).astype(np.uint8),
-        "sizes": np.tile(np.asarray([[600, 1200]], np.int32), (b, 1)),
-    }
+    return synthetic_bench_batch(cfg)
 
 
 def summarize_xplane(trace_dir: str, top: int = 40):
@@ -80,6 +61,7 @@ def summarize_xplane(trace_dir: str, top: int = 40):
                 continue
             print(f"\n-- line '{line.name}': total {total / 1e9:.3f} ms over {sum(counts.values())} events")
             if line.name.lower().startswith("step"):
+                print("   (step markers: total only, per-op breakdown n/a)")
                 continue
             for name, ps in per_op.most_common(top):
                 print(f"  {ps / 1e9:9.3f} ms  x{counts[name]:<5} {name[:110]}")
