@@ -211,6 +211,13 @@ def get_cfg() -> CfgNode:
     c.TPU.GT_CAPACITY = 64  # max GT instances per image (padded)
     c.TPU.DTYPE = "float32"  # or "bfloat16"
     c.TPU.MESH_DATA = -1  # data-parallel axis size; -1 = all devices
+    # >1: run K consecutive steps per dispatched executable (lax.scan over
+    # K stacked batches) — amortizes per-dispatch round trips; periods
+    # (log/checkpoint/eval) should be multiples of K (boundary actions run
+    # on the post-chunk state). Supported by base/wq/mosaic/mixup and the
+    # SFAT family; paired-loader trainers (da/cda/adaptive_teacher) fall
+    # back to 1 with a notice.
+    c.TPU.STEPS_PER_DISPATCH = 1
 
     return c
 

@@ -36,6 +36,15 @@ from .source_free_adaptive_teacher import SourceFreeAdaptiveTeacherTrainer
 class AdaptiveTeacherTrainer(SourceFreeAdaptiveTeacherTrainer):
     pseudo_from_student = False
     ema_enabled = True
+    # run_step pulls a target batch per call; the inherited single-loader
+    # chunk scan cannot represent that
+    chunkable = False
+
+    def run_step_chunk(self, batches):
+        raise NotImplementedError(
+            "adaptive_teacher pulls paired source/target batches per step; "
+            "use TPU.STEPS_PER_DISPATCH=1"
+        )
 
     def __init__(self, cfg, synthetic: bool = False):
         super().__init__(cfg, synthetic=synthetic)

@@ -181,6 +181,7 @@ class BaseTrainer:
             )
             return new_state, metrics
 
+        self._step_fn_raw = step_fn
         return jax.jit(step_fn, donate_argnums=(0,))
 
     # -- loops ---------------------------------------------------------------
@@ -193,6 +194,40 @@ class BaseTrainer:
         gt = gt_instances(batch)
         images, sizes, gt = shard_batch(self.mesh, (images, sizes, gt))
         self.state, metrics = self._train_step(self.state, images, sizes, gt, self.base_rng)
+        return metrics
+
+    # Trainers whose step signature run_step_chunk can drive. Subclasses
+    # with extended signatures (paired source/target loaders) opt out.
+    chunkable = True
+
+    def run_step_chunk(self, batches) -> Dict[str, float]:
+        """len(batches) consecutive steps in ONE dispatched executable:
+        lax.scan over the stacked batches (each scan step consumes its own
+        batch; per-step RNG still folds on state.step). Exists because each
+        host dispatch pays one tunnel round trip on this box (BENCH_NOTES
+        round 2); enabled in the train loop via TPU.STEPS_PER_DISPATCH.
+        Returns the LAST step's metrics."""
+        k = len(batches)
+        images = jnp.asarray(np.stack([np.asarray(b["images"]) for b in batches]))
+        sizes = jnp.asarray(np.stack([np.asarray(b["sizes"]) for b in batches]))
+        gt = jax.tree.map(
+            lambda *xs: jnp.stack(xs), *[gt_instances(b) for b in batches]
+        )
+        images, sizes, gt = shard_batch(self.mesh, (images, sizes, gt), axis=1)
+        if getattr(self, "_chunk_step_n", None) != k:
+            step_fn = self._step_fn_raw
+
+            def multi(state, images, sizes, gt, rng):
+                def body(st, xs):
+                    im, sz, g = xs
+                    return step_fn(st, im, sz, g, rng)
+
+                state, metrics = jax.lax.scan(body, state, (images, sizes, gt))
+                return state, jax.tree.map(lambda m: m[-1], metrics)
+
+            self._chunk_step = jax.jit(multi, donate_argnums=(0,))
+            self._chunk_step_n = k
+        self.state, metrics = self._chunk_step(self.state, images, sizes, gt, self.base_rng)
         return metrics
 
     def _build_val_loss_hook(self):
@@ -235,25 +270,45 @@ class BaseTrainer:
         start = int(self.state.step)
         log_period = 20
         val_hook = self._build_val_loss_hook()
-        for i in range(start, self.max_iter):
+        chunk = max(1, int(self.cfg.TPU.STEPS_PER_DISPATCH))
+        if chunk > 1 and not getattr(self, "chunkable", False):
+            print(
+                f"[trainer] TPU.STEPS_PER_DISPATCH={chunk} not supported by "
+                f"{type(self).__name__} (multi-loader step); running 1/dispatch",
+                flush=True,
+            )
+            chunk = 1
+
+        def crossed(period: int, lo: int, hi: int) -> bool:
+            """Did any multiple of `period` land in (lo, hi]?"""
+            return period > 0 and hi // period > lo // period
+
+        i = start
+        while i < self.max_iter:
+            k = min(chunk, self.max_iter - i)
             t0 = time.perf_counter()
-            batch = next(it)
+            batches = [next(it) for _ in range(k)]
             data_time = time.perf_counter() - t0
-            metrics = self.run_step(batch)
+            metrics = self.run_step(batches[0]) if k == 1 else self.run_step_chunk(batches)
+            last = i + k - 1
+            # writers must observe iter == last (single-dispatch parity)
+            for _ in range(k - 1):
+                self.storage.step()
             self.storage.put_scalar("data_time", data_time)
-            self.storage.put_scalar("lr", float(self.lr_schedule(i)))
-            if (i + 1) % log_period == 0 or i == self.max_iter - 1:
-                for k, v in metrics.items():
-                    self.storage.put_scalar(k, float(v))
+            self.storage.put_scalar("lr", float(self.lr_schedule(last)))
+            if crossed(log_period, i, last + 1) or last == self.max_iter - 1:
+                for kk, v in metrics.items():
+                    self.storage.put_scalar(kk, float(v))
                 for w in self.writers:
                     w.write(self.storage)
-            if self.cfg.SOLVER.CHECKPOINT_PERIOD > 0 and (i + 1) % self.cfg.SOLVER.CHECKPOINT_PERIOD == 0:
-                self.checkpointer.save(f"model_{i:07d}", self.state)
-            if self.cfg.TEST.EVAL_PERIOD > 0 and (i + 1) % self.cfg.TEST.EVAL_PERIOD == 0:
+            if crossed(self.cfg.SOLVER.CHECKPOINT_PERIOD, i, last + 1):
+                self.checkpointer.save(f"model_{last:07d}", self.state)
+            if crossed(self.cfg.TEST.EVAL_PERIOD, i, last + 1):
                 self.test()
             if val_hook is not None:
-                val_hook.after_step(i, self._hook_variables(), self.base_rng, self.storage)
+                val_hook.after_step(last, self._hook_variables(), self.base_rng, self.storage)
             self.storage.step()
+            i += k
         self.checkpointer.save("model_final", self.state)
 
     # -- evaluation ----------------------------------------------------------

@@ -34,6 +34,13 @@ from .base import BaseTrainer, _flip_enabled, apply_weak_aug
 
 class _DATrainerBase(BaseTrainer):
     conditional = False  # CDA: multiply instance features by class probs
+    chunkable = False  # paired (source, target) loaders per step
+
+    def run_step_chunk(self, batches):
+        raise NotImplementedError(
+            "da/cda pull paired source/target batches per step; "
+            "use TPU.STEPS_PER_DISPATCH=1"
+        )
 
     def __init__(self, cfg, synthetic: bool = False):
         if cfg.DA_FASTER.ENTROPY_CONDITIONING and not self.conditional:

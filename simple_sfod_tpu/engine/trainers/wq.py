@@ -74,6 +74,7 @@ class WQTrainer(BaseTrainer):
                 metrics,
             )
 
+        self._step_fn_raw = step_fn
         return jax.jit(step_fn, donate_argnums=(0,))
 
 

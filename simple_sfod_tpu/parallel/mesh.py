@@ -34,13 +34,17 @@ def make_mesh(data_axis: int = -1, devices=None) -> Mesh:
     return Mesh(np.asarray(devices[:n]).reshape(n), ("data",))
 
 
-def shard_batch(mesh: Mesh, tree: Any) -> Any:
-    """Place batch-leading arrays sharded over the data axis."""
+def shard_batch(mesh: Mesh, tree: Any, axis: int = 0) -> Any:
+    """Place arrays sharded over the data axis at dimension `axis` (0 for a
+    plain [B, ...] batch; 1 for chunked [K, B, ...] multi-step stacks)."""
     if mesh.devices.size == 1:
         return tree
 
     def put(x):
-        spec = P("data", *([None] * (x.ndim - 1))) if x.ndim >= 1 else P()
+        if x.ndim > axis:
+            spec = P(*([None] * axis), "data", *([None] * (x.ndim - axis - 1)))
+        else:
+            spec = P()
         return jax.device_put(x, NamedSharding(mesh, spec))
 
     return jax.tree.map(put, tree)

@@ -220,6 +220,55 @@ class TestAdaptiveTeacherStep:
         assert np.isfinite(float(m["total_loss"]))
 
 
+class TestChunkedStepping:
+    """TPU.STEPS_PER_DISPATCH: K different batches per dispatched executable
+    must produce the same state trajectory as K single dispatches."""
+
+    def _tiny(self, trainer):
+        return tiny_cfg(
+            trainer,
+            **{
+                "MODEL.BACKBONE.NAME": "build_tiny_backbone",
+                "MODEL.RPN.IN_FEATURES": ("tiny1",),
+                "MODEL.ROI_HEADS.IN_FEATURES": ("tiny1",),
+            },
+        )
+
+    @pytest.mark.parametrize("trainer", ["base", "source_free_adaptive_teacher"])
+    def test_chunk_matches_single_dispatch(self, trainer):
+        cfg = self._tiny(trainer)
+        a = build_trainer(cfg, synthetic=True)
+        batches = []
+        it = iter(a.build_train_loader())
+        for _ in range(4):
+            batches.append(next(it))
+        for b in batches:
+            a.run_step(b)
+        b_tr = build_trainer(cfg, synthetic=True)
+        b_tr.run_step_chunk(batches[:2])
+        b_tr.run_step_chunk(batches[2:])
+        pa = a.state.params
+        pb = b_tr.state.params
+        for (ka, va), (kb, vb) in zip(
+            jax.tree_util.tree_leaves_with_path(pa),
+            jax.tree_util.tree_leaves_with_path(pb),
+        ):
+            np.testing.assert_allclose(
+                np.asarray(va), np.asarray(vb), rtol=1e-5, atol=1e-6, err_msg=str(ka)
+            )
+        assert int(b_tr.state.step) == 4
+
+    def test_unchunkable_trainer_falls_back(self, capsys):
+        cfg = self._tiny("da")
+        cfg.TPU.STEPS_PER_DISPATCH = 4
+        cfg.SOLVER.MAX_ITER = 1
+        tr = build_trainer(cfg, synthetic=True)
+        tr.train()
+        out = capsys.readouterr().out
+        assert "not supported" in out
+        assert int(tr.state.step) == 1
+
+
 class TestWQStep:
     @pytest.mark.parametrize("trainer", ["base_wq", "base_mosaic", "base_mixup"])
     def test_step_runs(self, trainer):
