@@ -212,11 +212,11 @@ def get_cfg() -> CfgNode:
     c.TPU.DTYPE = "float32"  # or "bfloat16"
     c.TPU.MESH_DATA = -1  # data-parallel axis size; -1 = all devices
     # >1: run K consecutive steps per dispatched executable (lax.scan over
-    # K stacked batches) — amortizes per-dispatch round trips; periods
-    # (log/checkpoint/eval) should be multiples of K (boundary actions run
-    # on the post-chunk state). Supported by base/wq/mosaic/mixup and the
-    # SFAT family; paired-loader trainers (da/cda/adaptive_teacher) fall
-    # back to 1 with a notice.
+    # K stacked batches; paired-loader trainers stack both loaders) —
+    # amortizes per-dispatch round trips; periods (log/checkpoint/eval)
+    # should be multiples of K (boundary actions run on the post-chunk
+    # state). Supported by every trainer; trajectories are bit-equal to
+    # single dispatch (tests/test_trainers.py::TestChunkedStepping).
     c.TPU.STEPS_PER_DISPATCH = 1
 
     return c

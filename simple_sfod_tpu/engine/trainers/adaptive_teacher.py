@@ -36,15 +36,29 @@ from .source_free_adaptive_teacher import SourceFreeAdaptiveTeacherTrainer
 class AdaptiveTeacherTrainer(SourceFreeAdaptiveTeacherTrainer):
     pseudo_from_student = False
     ema_enabled = True
-    # run_step pulls a target batch per call; the inherited single-loader
-    # chunk scan cannot represent that
-    chunkable = False
-
     def run_step_chunk(self, batches):
-        raise NotImplementedError(
-            "adaptive_teacher pulls paired source/target batches per step; "
-            "use TPU.STEPS_PER_DISPATCH=1"
-        )
+        """K steps in ONE dispatch over K (source, target) batch pairs
+        (TPU.STEPS_PER_DISPATCH; one tunnel RTT per dispatch)."""
+        import numpy as np
+
+        args = [self._step_args(b, shard=False) for b in batches]  # pulls K targets
+        k = len(batches)
+        stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *args)
+        stacked = shard_batch(self.mesh, stacked, axis=1)
+        if getattr(self, "_chunk_step_n", None) != k:
+            step_fn = self._step_fn_raw
+
+            def multi(state, xs, rng):
+                def body(st, x):
+                    return step_fn(st, *x, rng)
+
+                state, metrics = jax.lax.scan(body, state, xs)
+                return state, jax.tree.map(lambda m: m[-1], metrics)
+
+            self._chunk_step = jax.jit(multi, donate_argnums=(0,))
+            self._chunk_step_n = k
+        self.state, metrics = self._chunk_step(self.state, stacked, self.base_rng)
+        return metrics
 
     def __init__(self, cfg, synthetic: bool = False):
         super().__init__(cfg, synthetic=synthetic)
@@ -222,7 +236,7 @@ class AdaptiveTeacherTrainer(SourceFreeAdaptiveTeacherTrainer):
         self._step_fn_raw = step_fn
         return jax.jit(step_fn, donate_argnums=(0,))
 
-    def _step_args(self, batch):
+    def _step_args(self, batch, shard: bool = True):
         if self.target_loader is None:
             self.target_loader = iter(self._build_target_loader())
         tgt = next(self.target_loader)
@@ -233,7 +247,7 @@ class AdaptiveTeacherTrainer(SourceFreeAdaptiveTeacherTrainer):
             jnp.asarray(tgt["images"]),
             jnp.asarray(tgt["sizes"]),
         )
-        return shard_batch(self.mesh, args)
+        return shard_batch(self.mesh, args) if shard else args
 
     def run_step(self, batch) -> Dict[str, float]:
         args = self._step_args(batch)

@@ -258,15 +258,28 @@ class TestChunkedStepping:
             )
         assert int(b_tr.state.step) == 4
 
-    def test_unchunkable_trainer_falls_back(self, capsys):
-        cfg = self._tiny("da")
-        cfg.TPU.STEPS_PER_DISPATCH = 4
-        cfg.SOLVER.MAX_ITER = 1
-        tr = build_trainer(cfg, synthetic=True)
-        tr.train()
-        out = capsys.readouterr().out
-        assert "not supported" in out
-        assert int(tr.state.step) == 1
+    @pytest.mark.parametrize("trainer", ["da", "adaptive_teacher"])
+    def test_paired_loader_chunk_matches_single_dispatch(self, trainer):
+        """The dual-loader chunk path must consume the SAME (source, target)
+        pairing as per-step dispatch and land on the same params."""
+        cfg = self._tiny(trainer)
+        a = build_trainer(cfg, synthetic=True)
+        batches = []
+        it = iter(a.build_train_loader())
+        for _ in range(2):
+            batches.append(next(it))
+        for b in batches:
+            a.run_step(b)
+        b_tr = build_trainer(cfg, synthetic=True)
+        b_tr.run_step_chunk(batches)
+        for (ka, va), (kb, vb) in zip(
+            jax.tree_util.tree_leaves_with_path(a.state.params),
+            jax.tree_util.tree_leaves_with_path(b_tr.state.params),
+        ):
+            np.testing.assert_allclose(
+                np.asarray(va), np.asarray(vb), rtol=1e-5, atol=1e-6, err_msg=str(ka)
+            )
+        assert int(b_tr.state.step) == 2
 
 
 class TestWQStep:
