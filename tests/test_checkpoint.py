@@ -360,3 +360,51 @@ class TestEndToEndGolden:
         )
         np.testing.assert_allclose(scores[order], self.GOLD_SCORES, atol=1e-4)
         assert np.asarray(dets.classes[0])[order].tolist() == self.GOLD_CLASSES
+
+    def test_bf16_eval_drift_bounded(self):
+        """TPU.DTYPE=bfloat16 eval vs the f32 goldens: same imported weights,
+        same image — quantifies the bf16-compute drift the reference's f32
+        eval does not have (PARITY_EVIDENCE). Measured: aligned detections
+        drift <0.2px in boxes and <6e-3 in score; detections whose f32
+        scores are within ~5e-3 of each other (ranks 4/5 here) can swap
+        places, and WHICH near-tie wins is environment-sensitive in bf16 —
+        so only the clear-margin top 4 are asserted by identity, and rank 5
+        by score level."""
+        import jax.numpy as jnp_
+
+        from simple_sfod_tpu.models.detector import Detector
+
+        det_cfg = DetectorConfig(
+            num_classes=4,
+            backbone="vgg16",
+            in_feature="vgg4",
+            fc_dim=64,
+            rpn_pre_nms_topk_test=2048,
+            rpn_post_nms_topk_test=512,
+            dtype=jnp_.bfloat16,
+        )
+        det = Detector(det_cfg)
+        sd = _fake_d2_detector_sd(fan_in_scaled=True)
+        params, stats = import_torch_checkpoint(sd, det_cfg, strict=False)
+        variables = det.init(jax.random.key(0), (64, 128))
+        p = dict(variables["params"])
+        p.update(params)
+        s = dict(variables.get("batch_stats", {}))
+        s.update(stats)
+        img = np.random.RandomState(11).uniform(0, 255, (1, 64, 128, 3)).astype(np.float32)
+        dets = det.infer(
+            {"params": p, "batch_stats": s},
+            jnp.asarray(img),
+            jnp.asarray([[64, 128]], np.int32),
+            score_thresh=0.0,
+        )
+        v = np.asarray(dets.valid[0])
+        scores = np.asarray(dets.scores[0])
+        order = [i for i in np.argsort(-scores) if v[i]][:5]
+        np.testing.assert_allclose(
+            np.asarray(dets.boxes[0])[order[:4]], self.GOLD_BOXES[:4], atol=1.0
+        )
+        np.testing.assert_allclose(scores[order[:4]], self.GOLD_SCORES[:4], atol=1e-2)
+        assert np.asarray(dets.classes[0])[order[:4]].tolist() == self.GOLD_CLASSES[:4]
+        # rank 5 is a near-tie: assert the score level, not the identity
+        assert abs(scores[order[4]] - self.GOLD_SCORES[4]) < 1e-2
