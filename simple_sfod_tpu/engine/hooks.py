@@ -45,8 +45,15 @@ class ValLossHook:
             self._iter = iter(self.loader_factory())
             return next(self._iter)
 
-    def after_step(self, step: int, variables, rng, storage) -> Dict[str, float]:
-        if self.period <= 0 or (step + 1) % self.period:
+    def after_step(self, step: int, variables, rng, storage, prev_step: int = None) -> Dict[str, float]:
+        """prev_step: with chunked stepping (TPU.STEPS_PER_DISPATCH>1) the
+        loop lands only on chunk boundaries; fire if ANY multiple of the
+        period fell in (prev_step, step] so periods misaligned with the
+        chunk size don't silently disable the hook."""
+        if self.period <= 0:
+            return {}
+        lo = step - 1 if prev_step is None else prev_step
+        if (step + 1) // self.period <= (lo + 1) // self.period:
             return {}
         from ..data.loader import gt_instances
 

@@ -36,33 +36,18 @@ from .source_free_adaptive_teacher import SourceFreeAdaptiveTeacherTrainer
 class AdaptiveTeacherTrainer(SourceFreeAdaptiveTeacherTrainer):
     pseudo_from_student = False
     ema_enabled = True
-    def run_step_chunk(self, batches):
-        """K steps in ONE dispatch over K (source, target) batch pairs
-        (TPU.STEPS_PER_DISPATCH; one tunnel RTT per dispatch)."""
-        import numpy as np
-
-        args = [self._step_args(b, shard=False) for b in batches]  # pulls K targets
-        k = len(batches)
-        stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *args)
-        stacked = shard_batch(self.mesh, stacked, axis=1)
-        if getattr(self, "_chunk_step_n", None) != k:
-            step_fn = self._step_fn_raw
-
-            def multi(state, xs, rng):
-                def body(st, x):
-                    return step_fn(st, *x, rng)
-
-                state, metrics = jax.lax.scan(body, state, xs)
-                return state, jax.tree.map(lambda m: m[-1], metrics)
-
-            self._chunk_step = jax.jit(multi, donate_argnums=(0,))
-            self._chunk_step_n = k
-        self.state, metrics = self._chunk_step(self.state, stacked, self.base_rng)
-        return metrics
 
     def __init__(self, cfg, synthetic: bool = False):
         super().__init__(cfg, synthetic=synthetic)
         self.target_loader = None
+
+    def run_step_chunk(self, batches) -> Dict[str, float]:
+        """K steps in ONE dispatch over K (source, target) batch pairs
+        (TPU.STEPS_PER_DISPATCH): host-stack the per-step args, one transfer
+        per leaf, scan via BaseTrainer._dispatch_chunk."""
+        per = [self._step_args(b, shard=False) for b in batches]  # pulls K targets
+        xs = shard_batch(self.mesh, self._stack_steps(per), axis=1)
+        return self._dispatch_chunk(xs)
 
     def build_train_loader(self):
         # labeled source loader; the unlabeled target loader is built lazily

@@ -196,39 +196,47 @@ class BaseTrainer:
         self.state, metrics = self._train_step(self.state, images, sizes, gt, self.base_rng)
         return metrics
 
-    # Trainers whose step signature run_step_chunk can drive. Subclasses
-    # with extended signatures (paired source/target loaders) opt out.
-    chunkable = True
-
-    def run_step_chunk(self, batches) -> Dict[str, float]:
-        """len(batches) consecutive steps in ONE dispatched executable:
-        lax.scan over the stacked batches (each scan step consumes its own
-        batch; per-step RNG still folds on state.step). Exists because each
-        host dispatch pays one tunnel round trip on this box (BENCH_NOTES
-        round 2); enabled in the train loop via TPU.STEPS_PER_DISPATCH.
-        Returns the LAST step's metrics."""
-        k = len(batches)
-        images = jnp.asarray(np.stack([np.asarray(b["images"]) for b in batches]))
-        sizes = jnp.asarray(np.stack([np.asarray(b["sizes"]) for b in batches]))
-        gt = jax.tree.map(
-            lambda *xs: jnp.stack(xs), *[gt_instances(b) for b in batches]
-        )
-        images, sizes, gt = shard_batch(self.mesh, (images, sizes, gt), axis=1)
+    def _dispatch_chunk(self, xs) -> Dict[str, float]:
+        """Run one jit-cached lax.scan of the step body over `xs` — a tuple
+        of stacked per-step arg trees (leaves [K, ...], already sharded).
+        The scan body unpacks each step's slice into `self._step_fn_raw`'s
+        positional args, so every trainer signature reuses this one
+        scaffold. Exists because each host dispatch pays one tunnel round
+        trip on this box (BENCH_NOTES round 2). Returns LAST step metrics."""
+        k = jax.tree.leaves(xs)[0].shape[0]
         if getattr(self, "_chunk_step_n", None) != k:
             step_fn = self._step_fn_raw
 
-            def multi(state, images, sizes, gt, rng):
-                def body(st, xs):
-                    im, sz, g = xs
-                    return step_fn(st, im, sz, g, rng)
+            def multi(state, xs, rng):
+                def body(st, x):
+                    return step_fn(st, *x, rng)
 
-                state, metrics = jax.lax.scan(body, state, (images, sizes, gt))
+                state, metrics = jax.lax.scan(body, state, xs)
                 return state, jax.tree.map(lambda m: m[-1], metrics)
 
             self._chunk_step = jax.jit(multi, donate_argnums=(0,))
             self._chunk_step_n = k
-        self.state, metrics = self._chunk_step(self.state, images, sizes, gt, self.base_rng)
+        self.state, metrics = self._chunk_step(self.state, xs, self.base_rng)
         return metrics
+
+    @staticmethod
+    def _stack_steps(per_step_args):
+        """[per-step arg tuples] -> one tuple of host-stacked [K, ...] trees
+        (one transfer per leaf, not per step)."""
+        return jax.tree.map(
+            lambda *leaves: jnp.asarray(np.stack([np.asarray(l) for l in leaves])),
+            *per_step_args,
+        )
+
+    def run_step_chunk(self, batches) -> Dict[str, float]:
+        """len(batches) consecutive steps in ONE dispatched executable (each
+        scan step consumes its own batch; per-step RNG still folds on
+        state.step); TPU.STEPS_PER_DISPATCH drives it from the train loop."""
+        xs = self._stack_steps(
+            [(b["images"], b["sizes"], gt_instances(b)) for b in batches]
+        )
+        xs = shard_batch(self.mesh, xs, axis=1)
+        return self._dispatch_chunk(xs)
 
     def _build_val_loss_hook(self):
         """ValLossHook parity (reference engine/hooks/val_loss.py, enabled by
@@ -271,13 +279,6 @@ class BaseTrainer:
         log_period = 20
         val_hook = self._build_val_loss_hook()
         chunk = max(1, int(self.cfg.TPU.STEPS_PER_DISPATCH))
-        if chunk > 1 and not getattr(self, "chunkable", False):
-            print(
-                f"[trainer] TPU.STEPS_PER_DISPATCH={chunk} not supported by "
-                f"{type(self).__name__} (multi-loader step); running 1/dispatch",
-                flush=True,
-            )
-            chunk = 1
 
         def crossed(period: int, lo: int, hi: int) -> bool:
             """Did any multiple of `period` land in (lo, hi]?"""
@@ -289,12 +290,18 @@ class BaseTrainer:
             t0 = time.perf_counter()
             batches = [next(it) for _ in range(k)]
             data_time = time.perf_counter() - t0
-            metrics = self.run_step(batches[0]) if k == 1 else self.run_step_chunk(batches)
+            if k == chunk and k > 1:
+                metrics = self.run_step_chunk(batches)
+            else:
+                # single-step path; also the short tail of a chunked run —
+                # a k-length scan would be a fresh (expensive) XLA compile
+                for b in batches:
+                    metrics = self.run_step(b)
             last = i + k - 1
             # writers must observe iter == last (single-dispatch parity)
             for _ in range(k - 1):
                 self.storage.step()
-            self.storage.put_scalar("data_time", data_time)
+            self.storage.put_scalar("data_time", data_time / k)
             self.storage.put_scalar("lr", float(self.lr_schedule(last)))
             if crossed(log_period, i, last + 1) or last == self.max_iter - 1:
                 for kk, v in metrics.items():
@@ -306,7 +313,10 @@ class BaseTrainer:
             if crossed(self.cfg.TEST.EVAL_PERIOD, i, last + 1):
                 self.test()
             if val_hook is not None:
-                val_hook.after_step(last, self._hook_variables(), self.base_rng, self.storage)
+                val_hook.after_step(
+                    last, self._hook_variables(), self.base_rng, self.storage,
+                    prev_step=i - 1,
+                )
             self.storage.step()
             i += k
         self.checkpointer.save("model_final", self.state)

@@ -34,43 +34,21 @@ from .base import BaseTrainer, _flip_enabled, apply_weak_aug
 
 class _DATrainerBase(BaseTrainer):
     conditional = False  # CDA: multiply instance features by class probs
-    def run_step_chunk(self, batches):
+    def run_step_chunk(self, batches) -> "Dict[str, float]":
         """K steps in ONE dispatch over K (source, target) batch pairs —
-        the paired-loader counterpart of BaseTrainer.run_step_chunk
-        (TPU.STEPS_PER_DISPATCH; one tunnel RTT per dispatch, BENCH_NOTES
-        round 2)."""
-        import numpy as np
-
+        paired-loader stacker over BaseTrainer._dispatch_chunk
+        (TPU.STEPS_PER_DISPATCH); targets are pulled in the same order as
+        the per-step path."""
         if self.target_loader is None:
             self.target_loader = iter(self._build_target_loader())
-        k = len(batches)
-        tgts = [next(self.target_loader) for _ in range(k)]
-        src_images = jnp.asarray(np.stack([np.asarray(b["images"]) for b in batches]))
-        src_sizes = jnp.asarray(np.stack([np.asarray(b["sizes"]) for b in batches]))
-        src_gt = jax.tree.map(
-            lambda *xs: jnp.stack(xs), *[gt_instances(b) for b in batches]
-        )
-        tgt_images = jnp.asarray(np.stack([np.asarray(t["images"]) for t in tgts]))
-        tgt_sizes = jnp.asarray(np.stack([np.asarray(t["sizes"]) for t in tgts]))
-        xs = shard_batch(
-            self.mesh, (src_images, src_sizes, src_gt, tgt_images, tgt_sizes), axis=1
-        )
-        if getattr(self, "_chunk_step_n", None) != k:
-            step_fn = self._step_fn_raw
-
-            def multi(state, src_images, src_sizes, src_gt, tgt_images, tgt_sizes, rng):
-                def body(st, x):
-                    return step_fn(st, *x, rng)
-
-                state, metrics = jax.lax.scan(
-                    body, state, (src_images, src_sizes, src_gt, tgt_images, tgt_sizes)
-                )
-                return state, jax.tree.map(lambda m: m[-1], metrics)
-
-            self._chunk_step = jax.jit(multi, donate_argnums=(0,))
-            self._chunk_step_n = k
-        self.state, metrics = self._chunk_step(self.state, *xs, self.base_rng)
-        return metrics
+        per = []
+        for b in batches:
+            t = next(self.target_loader)
+            per.append(
+                (b["images"], b["sizes"], gt_instances(b), t["images"], t["sizes"])
+            )
+        xs = shard_batch(self.mesh, self._stack_steps(per), axis=1)
+        return self._dispatch_chunk(xs)
 
     def __init__(self, cfg, synthetic: bool = False):
         if cfg.DA_FASTER.ENTROPY_CONDITIONING and not self.conditional:

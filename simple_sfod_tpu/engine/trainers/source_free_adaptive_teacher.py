@@ -464,29 +464,14 @@ class SourceFreeAdaptiveTeacherTrainer(BaseTrainer):
         return metrics
 
     def run_step_chunk(self, batches) -> Dict[str, float]:
-        """len(batches) steps in ONE dispatch, each consuming its OWN batch
-        (lax.scan over the stacked stack) — the SFAT-signature counterpart
-        of BaseTrainer.run_step_chunk; TPU.STEPS_PER_DISPATCH drives it."""
-        import numpy as np
-
-        k = len(batches)
-        images = jnp.asarray(np.stack([np.asarray(b["images"]) for b in batches]))
-        sizes = jnp.asarray(np.stack([np.asarray(b["sizes"]) for b in batches]))
-        images, sizes = shard_batch(self.mesh, (images, sizes), axis=1)
-        if getattr(self, "_chunk_step_n", None) != k:
-            step_fn = self._step_fn_raw
-
-            def multi(state, images, sizes, rng):
-                def body(st, xs):
-                    im, sz = xs
-                    return step_fn(st, im, sz, rng)
-
-                state, metrics = jax.lax.scan(body, state, (images, sizes))
-                return state, jax.tree.map(lambda m: m[-1], metrics)
-
-            self._chunk_step = jax.jit(multi, donate_argnums=(0,))
-            self._chunk_step_n = k
-        self.state, metrics = self._chunk_step(self.state, images, sizes, self.base_rng)
+        """K steps in ONE dispatch, each consuming its OWN batch — the
+        SFAT-signature stacker over BaseTrainer._dispatch_chunk
+        (TPU.STEPS_PER_DISPATCH). Pseudo-label visualization fires on the
+        chunk's last batch (periodicity approximated to chunk boundaries)."""
+        xs = self._stack_steps([(b["images"], b["sizes"]) for b in batches])
+        xs = shard_batch(self.mesh, xs, axis=1)
+        metrics = self._dispatch_chunk(xs)
+        self._maybe_visualize(batches[-1])
         return metrics
 
     def _maybe_visualize(self, batch):
