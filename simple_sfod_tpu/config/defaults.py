@@ -182,6 +182,12 @@ def get_cfg() -> CfgNode:
     c.SEMISUPNET.DIS_TYPE = "res4"
     c.SEMISUPNET.DIS_LOSS_WEIGHT = 0.1
     c.SEMISUPNET.INS_DC = False
+    # repo extra: the `_single` variant fuses the weak+strong views into ONE
+    # backbone pass (BN statistics pool over both views — faster, deviates
+    # from the reference's two separate forwards). True = two passes with
+    # per-view batch statistics and running stats nudged twice,
+    # reference-exact (reference sfat.py `_single` branch semantics).
+    c.SEMISUPNET.SPLIT_VIEW_BN = False
 
     c.EMAMODEL = CfgNode()
     c.EMAMODEL.SUP_CONSIST = True  # dead in the reference too
@@ -218,6 +224,10 @@ def get_cfg() -> CfgNode:
     # state). Supported by every trainer; trajectories are bit-equal to
     # single dispatch (tests/test_trainers.py::TestChunkedStepping).
     c.TPU.STEPS_PER_DISPATCH = 1
+    # eval dispatch pipelining depth (engine/eval_loop.py): batches kept in
+    # flight so the tunnel RTT of each materializing read overlaps device
+    # compute; raise on high-latency links
+    c.TPU.EVAL_PIPELINE_DEPTH = 4
 
     return c
 
@@ -244,12 +254,50 @@ def detector_config_from_cfg(cfg: CfgNode) -> DetectorConfig:
         raise ValueError("MODEL.ROI_BOX_HEAD.NUM_CONV > 0 is not supported (reference heads are FC-only)")
     if cfg.MODEL.ROI_BOX_HEAD.CLS_AGNOSTIC_BBOX_REG:
         raise ValueError("MODEL.ROI_BOX_HEAD.CLS_AGNOSTIC_BBOX_REG is not supported")
-    fpn = name.endswith("_fpn_backbone")
-    if fpn and not in_feature.startswith("p"):
+    if cfg.MODEL.PROPOSAL_GENERATOR.NAME not in ("RPN", "PseudoLabRPN"):
+        # PseudoLabRPN (the reference's loss-free RPN forward) is subsumed by
+        # `propose()` without `rpn_losses()` — both names lower identically
         raise ValueError(
-            f"{name} produces pyramid levels p2..p6; set MODEL.RPN.IN_FEATURES/"
-            f"MODEL.ROI_HEADS.IN_FEATURES to one of them (got {in_feature!r})"
+            f"unknown MODEL.PROPOSAL_GENERATOR.NAME {cfg.MODEL.PROPOSAL_GENERATOR.NAME!r} "
+            "(supported: RPN, PseudoLabRPN)"
         )
+    fpn = name.endswith("_fpn_backbone")
+    rpn_in_features: tuple = ()
+    roi_in_features: tuple = ()
+    anchor_sizes_per_level: tuple = ()
+    sizes = tuple(tuple(s) for s in cfg.MODEL.ANCHOR_GENERATOR.SIZES)
+    if fpn:
+        # d2 FPN-config defaults (Base-RCNN-FPN.yaml) when the YAML leaves
+        # the single-level defaults in place: RPN over p2..p6, ROI pooling
+        # over p2..p5, one anchor size per RPN level.
+        rpn_in = tuple(cfg.MODEL.RPN.IN_FEATURES)
+        roi_in = tuple(cfg.MODEL.ROI_HEADS.IN_FEATURES)
+        rpn_in_features = (
+            ("p2", "p3", "p4", "p5", "p6") if rpn_in == ("res4",) else rpn_in
+        )
+        roi_in_features = (
+            ("p2", "p3", "p4", "p5") if roi_in == ("res4",) else roi_in
+        )
+        bad = [f for f in rpn_in_features + roi_in_features if not f.startswith("p")]
+        if bad:
+            raise ValueError(
+                f"{name} produces pyramid levels p2..p6; MODEL.RPN.IN_FEATURES/"
+                f"MODEL.ROI_HEADS.IN_FEATURES must name them (got {bad})"
+            )
+        in_feature = roi_in_features[0]
+        if len(sizes) == len(rpn_in_features):
+            anchor_sizes_per_level = sizes  # d2 per-level SIZES=[[32],[64],...]
+        elif len(sizes) == 1 and rpn_in == ("res4",) and len(sizes[0]) == len(rpn_in_features):
+            # defaulted FPN levels + defaulted global 5-size list -> the
+            # standard d2 FPN split, one size per level
+            anchor_sizes_per_level = tuple((s,) for s in sizes[0])
+        elif len(sizes) == 1:
+            anchor_sizes_per_level = tuple(sizes[0] for _ in rpn_in_features)
+        else:
+            raise ValueError(
+                f"ANCHOR_GENERATOR.SIZES has {len(sizes)} entries for "
+                f"{len(rpn_in_features)} RPN levels (need 1 or {len(rpn_in_features)})"
+            )
     fpn_in_features = tuple(cfg.MODEL.FPN.IN_FEATURES)
     if fpn and not fpn_in_features:
         fpn_in_features = (
@@ -269,6 +317,9 @@ def detector_config_from_cfg(cfg: CfgNode) -> DetectorConfig:
         fpn_out_channels=cfg.MODEL.FPN.OUT_CHANNELS,
         fpn_norm=cfg.MODEL.FPN.NORM,
         fpn_fuse_type=cfg.MODEL.FPN.FUSE_TYPE,
+        rpn_in_features=rpn_in_features,
+        roi_in_features=roi_in_features,
+        anchor_sizes_per_level=anchor_sizes_per_level,
         anchor_sizes=tuple(cfg.MODEL.ANCHOR_GENERATOR.SIZES[0]),
         anchor_ratios=tuple(cfg.MODEL.ANCHOR_GENERATOR.ASPECT_RATIOS[0]),
         rpn_pre_nms_topk_train=min(cfg.MODEL.RPN.PRE_NMS_TOPK_TRAIN, 4096),

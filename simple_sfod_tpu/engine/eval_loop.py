@@ -24,6 +24,7 @@ def inference_on_dataset(
     jit_infer=None,
     dump_json: Optional[str] = None,
     category_ids: Optional[dict] = None,
+    pipeline_depth: int = 4,
 ) -> Dict:
     """Run inference over a test loader; boxes are mapped back to original
     file coordinates (divide by the resize scale) before evaluation.
@@ -99,7 +100,7 @@ def inference_on_dataset(
                 )
 
     inflight = collections.deque()
-    depth = 4
+    depth = max(1, int(pipeline_depth))  # TPU.EVAL_PIPELINE_DEPTH
     for batch in loader:
         dets = jit_infer(
             variables, jnp.asarray(batch["images"]), jnp.asarray(batch["sizes"])

@@ -22,6 +22,7 @@ from ...data import transforms as T
 from ...data.loader import build_train_loader, gt_instances
 from ...models.dann import gradient_scalar
 from ...models.detector import DetectionBatch
+from ...models.faster_rcnn import dc_image_feature
 from ...ops.losses import sigmoid_ce
 from ...parallel.mesh import shard_batch
 from ...structures.instances import Instances
@@ -43,9 +44,18 @@ class AdaptiveTeacherTrainer(SourceFreeAdaptiveTeacherTrainer):
 
     def run_step_chunk(self, batches) -> Dict[str, float]:
         """K steps in ONE dispatch over K (source, target) batch pairs
-        (TPU.STEPS_PER_DISPATCH): host-stack the per-step args, one transfer
-        per leaf, scan via BaseTrainer._dispatch_chunk."""
-        per = [self._step_args(b, shard=False) for b in batches]  # pulls K targets
+        (TPU.STEPS_PER_DISPATCH): keep the per-step args as host numpy (no
+        per-step device round-trip — _step_args' jnp.asarray would upload K
+        times only for _stack_steps to pull each leaf back), stack once, one
+        transfer per leaf, scan via BaseTrainer._dispatch_chunk."""
+        if self.target_loader is None:
+            self.target_loader = iter(self._build_target_loader())
+        per = []
+        for b in batches:
+            t = next(self.target_loader)
+            per.append(
+                (b["images"], b["sizes"], gt_instances(b), t["images"], t["sizes"])
+            )
         xs = shard_batch(self.mesh, self._stack_steps(per), axis=1)
         return self._dispatch_chunk(xs)
 
@@ -80,6 +90,7 @@ class AdaptiveTeacherTrainer(SourceFreeAdaptiveTeacherTrainer):
         keep_rate = float(cfg.SEMISUPNET.EMA_KEEP_RATE)
         update_iter = max(int(cfg.SEMISUPNET.TEACHER_UPDATE_ITER), 1)
         pseudo_capacity = self.det_cfg.detections_per_image
+        det_cfg = self.det_cfg
         dc_enabled = self.dc_enabled
         dc_img = getattr(self, "dc_img", None)
         ins_dc_enabled = self.ins_dc_enabled
@@ -143,8 +154,10 @@ class AdaptiveTeacherTrainer(SourceFreeAdaptiveTeacherTrainer):
                 if dc_enabled or ins_dc_enabled:
                     feat_tw, _ = det._features(variables, tgt_weak, True, mutable=True)
                 if dc_enabled:
-                    out_s = dc_img.apply({"params": params["dc"]}, gradient_scalar(feat_src, -1.0))
-                    out_t = dc_img.apply({"params": params["dc"]}, gradient_scalar(feat_tw, -1.0))
+                    df_s = dc_image_feature(det_cfg, feat_src)
+                    df_t = dc_image_feature(det_cfg, feat_tw)
+                    out_s = dc_img.apply({"params": params["dc"]}, gradient_scalar(df_s, -1.0))
+                    out_t = dc_img.apply({"params": params["dc"]}, gradient_scalar(df_t, -1.0))
                     loss_s = jnp.mean(sigmoid_ce(out_s, jnp.zeros_like(out_s)))
                     loss_t = jnp.mean(sigmoid_ce(out_t, jnp.ones_like(out_t)))
                     metrics["loss_DC_img_s"] = loss_s

@@ -352,6 +352,7 @@ class BaseTrainer:
                     self.output_dir, "inference", "coco_instances_results.json"
                 ),
                 category_ids={v: k for k, v in id_map.items()},
+                pipeline_depth=self.cfg.TPU.EVAL_PIPELINE_DEPTH,
             )
             results[name] = res
             ap_line = {k: res.get(k) for k in ("AP", "AP50", "AP75", "F1")}

@@ -22,7 +22,7 @@ import jax.numpy as jnp
 from ...data.loader import build_train_loader, gt_instances
 from ...models.dann import DAImgHead, DAInsHead, gradient_scalar
 from ...models.detector import DetectionBatch
-from ...models.faster_rcnn import anchors_for, propose, pool_rois
+from ...models.faster_rcnn import anchors_for, dc_image_feature, propose, pool_rois
 from ...ops.losses import sigmoid_ce
 from ...parallel.mesh import shard_batch
 from ...structures.instances import Instances
@@ -65,10 +65,10 @@ class _DATrainerBase(BaseTrainer):
         self.da_img_head = DAImgHead(dtype=self.det_cfg.dtype)
         self.da_ins_head = DAInsHead(dtype=self.det_cfg.dtype)
         feat_hw = (
-            self.cfg.TPU.CANVAS[0] // self.det_cfg.stride,
-            self.cfg.TPU.CANVAS[1] // self.det_cfg.stride,
+            self.cfg.TPU.CANVAS[0] // self.det_cfg.dc_stride,
+            self.cfg.TPU.CANVAS[1] // self.det_cfg.dc_stride,
         )
-        c = self.det_cfg.feature_channels
+        c = self.det_cfg.dc_channels
         img_dummy = jnp.zeros((1, *feat_hw, c))
         ins_dim = self.det_cfg.fc_dim * (
             (self.det_cfg.num_classes + 1) if self.conditional else 1
@@ -116,7 +116,7 @@ class _DATrainerBase(BaseTrainer):
                 variables, images, False, method=type(det.module).features
             )
             # image-level
-            rev = gradient_scalar(feature, -w_img)
+            rev = gradient_scalar(dc_image_feature(det_cfg, feature), -w_img)
             img_out = da_img_head.apply({"params": params["da_img"]}, rev)
             img_tgt = jnp.full_like(img_out, domain_label)
             loss_img = jnp.mean(sigmoid_ce(img_out, img_tgt))
@@ -239,6 +239,7 @@ class _DATrainerBase(BaseTrainer):
             res = inference_on_dataset(
                 self.detector, variables, loader, ds["thing_classes"],
                 build_evaluators(self.cfg, name, ds["thing_classes"]),
+                pipeline_depth=self.cfg.TPU.EVAL_PIPELINE_DEPTH,
             )
             results[name] = res
         return results

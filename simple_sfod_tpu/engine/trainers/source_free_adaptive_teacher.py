@@ -31,6 +31,7 @@ from ...data import transforms as T
 from ...data.loader import build_train_loader
 from ...models.dann import DAInsHead, FCDiscriminatorImg, gradient_scalar
 from ...models.detector import DetectionBatch
+from ...models.faster_rcnn import dc_image_feature
 from ...ops.losses import sigmoid_ce
 from ...parallel.mesh import shard_batch
 from ...structures.instances import Instances
@@ -85,10 +86,10 @@ class SourceFreeAdaptiveTeacherTrainer(BaseTrainer):
         if self.dc_enabled:
             self.dc_img = FCDiscriminatorImg(dtype=self.det_cfg.dtype)
             feat_hw = (
-                self.cfg.TPU.CANVAS[0] // self.det_cfg.stride,
-                self.cfg.TPU.CANVAS[1] // self.det_cfg.stride,
+                self.cfg.TPU.CANVAS[0] // self.det_cfg.dc_stride,
+                self.cfg.TPU.CANVAS[1] // self.det_cfg.dc_stride,
             )
-            dummy = jnp.zeros((1, *feat_hw, self.det_cfg.feature_channels))
+            dummy = jnp.zeros((1, *feat_hw, self.det_cfg.dc_channels))
             params["dc"] = self.dc_img.init(self.base_rng, dummy)["params"]
         if self.ins_dc_enabled:
             self.dc_ins = DAInsHead(dtype=self.det_cfg.dtype)
@@ -191,6 +192,7 @@ class SourceFreeAdaptiveTeacherTrainer(BaseTrainer):
         keep_rate = float(cfg.SEMISUPNET.EMA_KEEP_RATE)
         update_iter = max(int(cfg.SEMISUPNET.TEACHER_UPDATE_ITER), 1)
         weak_strong = bool(cfg.WEAK_STRONG_AUGMENT)
+        split_view_bn = bool(cfg.SEMISUPNET.SPLIT_VIEW_BN)
         num_classes = det_cfg.num_classes
         pseudo_capacity = det_cfg.detections_per_image
         dc_enabled = self.dc_enabled
@@ -250,8 +252,10 @@ class SourceFreeAdaptiveTeacherTrainer(BaseTrainer):
             the loss pass's features removes two full backbone passes per
             step (BENCH_NOTES round-2 leads)."""
             if dc_enabled:
-                out_s = dc_img.apply({"params": params["dc"]}, gradient_scalar(feat_s, -1.0))
-                out_t = dc_img.apply({"params": params["dc"]}, gradient_scalar(feat_t, -1.0))
+                df_s = dc_image_feature(det_cfg, feat_s)
+                df_t = dc_image_feature(det_cfg, feat_t)
+                out_s = dc_img.apply({"params": params["dc"]}, gradient_scalar(df_s, -1.0))
+                out_t = dc_img.apply({"params": params["dc"]}, gradient_scalar(df_t, -1.0))
                 loss_s = jnp.mean(sigmoid_ce(out_s, jnp.zeros_like(out_s)))
                 loss_t = jnp.mean(sigmoid_ce(out_t, jnp.ones_like(out_t)))
                 metrics["loss_DC_img_s"] = loss_s
@@ -329,15 +333,35 @@ class SourceFreeAdaptiveTeacherTrainer(BaseTrainer):
                 # two separate forwards normalise each view by its own stats
                 # (and nudge the running stats twice). The views share
                 # geometry and differ only photometrically, so the pooled
-                # stats sit between the reference's two; documented rather
-                # than split because splitting would forfeit the fusion.
+                # stats sit between the reference's two; the default keeps
+                # the fusion, SEMISUPNET.SPLIT_VIEW_BN=True switches to the
+                # reference-exact two-pass semantics below.
                 def loss_fn(params):
                     variables = {"params": params["det"], "batch_stats": state.batch_stats}
-                    fused = jnp.concatenate([images_w, images_s], axis=0)
-                    feat_all, mutated = det._features(variables, fused, True, mutable=True)
-                    new_stats = mutated.get("batch_stats", {})
-                    feat_w = feat_all[:b]
-                    feat_s = feat_all[b:]
+                    if split_view_bn:
+                        # SEMISUPNET.SPLIT_VIEW_BN: reference-exact two-pass
+                        # semantics — each view normalised by its OWN batch
+                        # statistics, running stats nudged twice (weak pass
+                        # first, strong pass sees the post-weak stats), at
+                        # the cost of the fused pass's dispatch savings.
+                        feat_w, mut_w = det._features(
+                            variables, images_w, True, mutable=True
+                        )
+                        vars_s = {
+                            "params": params["det"],
+                            "batch_stats": mut_w.get("batch_stats", {}),
+                        }
+                        feat_s, mut_s = det._features(
+                            vars_s, images_s, True, mutable=True
+                        )
+                        new_stats = mut_s.get("batch_stats", {})
+                    else:
+                        fused = jnp.concatenate([images_w, images_s], axis=0)
+                        feat_all, mutated = det._features(variables, fused, True, mutable=True)
+                        new_stats = mutated.get("batch_stats", {})
+                        # tree.map: feat_all is one array, or a level dict (FPN)
+                        feat_w = jax.tree.map(lambda x: x[:b], feat_all)
+                        feat_s = jax.tree.map(lambda x: x[b:], feat_all)
                     dets = det.infer_from_feature(
                         variables,
                         jax.lax.stop_gradient(feat_w),
@@ -529,6 +553,7 @@ class SourceFreeAdaptiveTeacherTrainer(BaseTrainer):
                     loader,
                     ds["thing_classes"],
                     build_evaluators(self.cfg, name, ds["thing_classes"]),
+                    pipeline_depth=self.cfg.TPU.EVAL_PIPELINE_DEPTH,
                 )
                 results[f"{name}/{tag}"] = res
                 print(

@@ -11,6 +11,12 @@ max-pool adds one extra level (LastLevelMaxPool). Output names follow
 detectron2's stride convention: ``p{log2(stride)}`` — for the VGG stages
 (vgg1..vgg4, strides 4..32) that is p2..p5 plus p6.
 
+The heads consume the pyramid with full detectron2 semantics (not a single
+level): the shared RPN head runs on every `rpn_in_features` level with
+per-level pre-NMS top-k and one merged NMS (faster_rcnn._propose_fpn), and
+the ROI pooler assigns each box to a `roi_in_features` level by d2's
+box-size rule (faster_rcnn.assign_boxes_to_levels) — see tests/test_fpn.py.
+
 TPU notes: the nearest 2x upsample is a `jnp.repeat` (pure data movement,
 fuses into the following add); all convs stay NHWC so the laterals/outputs
 run on the MXU in the compute dtype.

@@ -56,14 +56,22 @@ class DetectorConfig:
     resnet_norm: str = "BN"
     in_feature: str = "vgg4"
     # FPN (reference registers build_vgg_fpn_backbone, meta_arch/vgg.py:122):
-    # when enabled the heads consume a pyramid level ("p2".."p6")
+    # when enabled the heads consume the pyramid with full detectron2
+    # semantics — per-level RPN (shared head, per-level pre-NMS top-k, merged
+    # NMS) over `rpn_in_features`, and ROIAlign with box-size level
+    # assignment over `roi_in_features` (d2 assign_boxes_to_levels).
     fpn: bool = False
     fpn_in_features: Tuple[str, ...] = ()
     fpn_out_channels: int = 256
     fpn_norm: str = ""
     fpn_fuse_type: str = "sum"
-    # anchors
+    rpn_in_features: Tuple[str, ...] = ()  # e.g. ("p2","p3","p4","p5","p6")
+    roi_in_features: Tuple[str, ...] = ()  # e.g. ("p2","p3","p4","p5")
+    # anchors. For FPN, `anchor_sizes_per_level` (one size tuple per RPN
+    # level, d2's SIZES=[[32],[64],...] convention) takes precedence; empty =
+    # broadcast `anchor_sizes` to every level.
     anchor_sizes: Tuple[float, ...] = (32, 64, 128, 256, 512)
+    anchor_sizes_per_level: Tuple[Tuple[float, ...], ...] = ()
     anchor_ratios: Tuple[float, ...] = (0.5, 1.0, 2.0)
     # rpn — d2 defaults as lowered through the clamps in
     # config/defaults.py (d2: 12000/2000 train, 6000/1000 test); measured
@@ -98,13 +106,49 @@ class DetectorConfig:
     dtype: Any = jnp.float32
 
     @property
+    def rpn_levels(self) -> Tuple[str, ...]:
+        """RPN input level names (FPN mode only)."""
+        return self.rpn_in_features or (self.in_feature,)
+
+    @property
+    def roi_levels(self) -> Tuple[str, ...]:
+        """ROI pooler input level names (FPN mode only)."""
+        return self.roi_in_features or (self.in_feature,)
+
+    @property
+    def level_anchor_sizes(self) -> Tuple[Tuple[float, ...], ...]:
+        """Per-RPN-level anchor size tuples (FPN mode)."""
+        if self.anchor_sizes_per_level:
+            if len(self.anchor_sizes_per_level) != len(self.rpn_levels):
+                raise ValueError(
+                    f"anchor_sizes_per_level has {len(self.anchor_sizes_per_level)} "
+                    f"entries for {len(self.rpn_levels)} RPN levels"
+                )
+            return self.anchor_sizes_per_level
+        return tuple(self.anchor_sizes for _ in self.rpn_levels)
+
+    @property
     def num_anchors(self) -> int:
+        """Anchors per feature location (uniform across levels — the RPN head
+        is shared, as in detectron2)."""
+        if self.fpn:
+            per = {len(s) for s in self.level_anchor_sizes}
+            if len(per) != 1:
+                raise ValueError(
+                    "FPN RPN head is shared across levels; every level must "
+                    f"have the same number of anchor sizes (got {per})"
+                )
+            return per.pop() * len(self.anchor_ratios)
         return len(self.anchor_sizes) * len(self.anchor_ratios)
+
+    @staticmethod
+    def _level_stride(name: str) -> int:
+        return 2 ** int(name[1:])
 
     @property
     def stride(self) -> int:
         if self.in_feature.startswith("p"):  # FPN level: stride = 2**level
-            return 2 ** int(self.in_feature[1:])
+            return self._level_stride(self.in_feature)
         strides = {"vgg16": VGG16Backbone.out_strides(), "resnet50": ResNetBackbone.out_strides(), "resnet101": ResNetBackbone.out_strides(), "tiny": TinyBackbone.out_strides()}
         return strides[self.backbone][self.in_feature]
 
@@ -114,6 +158,21 @@ class DetectorConfig:
             return self.fpn_out_channels
         chans = {"vgg16": VGG16Backbone.out_channels(), "resnet50": ResNetBackbone.out_channels(), "resnet101": ResNetBackbone.out_channels(), "tiny": TinyBackbone.out_channels()}
         return chans[self.backbone][self.in_feature]
+
+    @property
+    def dc_in_feature(self) -> str:
+        """The single feature map the image-level domain classifier consumes.
+        The reference's DAOD heads are single-level (no reference YAML mixes
+        FPN and DC); under FPN we pick the coarsest ROI level."""
+        return self.roi_in_features[-1] if self.fpn else self.in_feature
+
+    @property
+    def dc_stride(self) -> int:
+        return self._level_stride(self.dc_in_feature) if self.fpn else self.stride
+
+    @property
+    def dc_channels(self) -> int:
+        return self.fpn_out_channels if self.fpn else self.feature_channels
 
 
 RPN_BOX_TRANSFORM = BoxTransform((1.0, 1.0, 1.0, 1.0))
@@ -164,24 +223,40 @@ class FasterRCNN(nn.Module):
         """Full forward through backbone + RPN heads (for init)."""
         feat = self.features(images, train)
         logits, deltas = self.rpn(feat)
+        ref = next(iter(feat.values())) if isinstance(feat, dict) else feat
         # touch the box head so init creates its params
         dummy = jnp.zeros(
-            (1, self.cfg.pooler_resolution, self.cfg.pooler_resolution, feat.shape[-1]),
-            feat.dtype,
+            (1, self.cfg.pooler_resolution, self.cfg.pooler_resolution, ref.shape[-1]),
+            ref.dtype,
         )
         self.box(dummy, train=False)
         return feat, logits, deltas
 
-    def features(self, images: jnp.ndarray, train: bool = False) -> jnp.ndarray:
-        """images: [B, H, W, 3] raw pixels -> in_feature map [B, h, w, C]."""
+    def features(self, images: jnp.ndarray, train: bool = False):
+        """images: [B, H, W, 3] raw pixels -> in_feature map [B, h, w, C], or
+        (FPN mode) the dict of pyramid levels the heads consume."""
         c = self.cfg
         mean = jnp.asarray(c.pixel_mean, images.dtype)
         std = jnp.asarray(c.pixel_std, images.dtype)
         x = (images - mean) / std
         feats = self.backbone(x, train=train)
+        if c.fpn:
+            needed = dict.fromkeys(c.rpn_in_features + c.roi_in_features)
+            return {k: feats[k] for k in needed}
         return feats[c.in_feature]
 
-    def rpn(self, feature: jnp.ndarray):
+    def rpn(self, feature):
+        """Single map -> RPN predictions; FPN dict -> the shared head applied
+        per level (detectron2 StandardRPNHead over fpn levels, rpn.py:431),
+        flattened and concatenated in `rpn_in_features` order so indices align
+        with `anchors_for`'s per-level concatenation."""
+        if isinstance(feature, dict):
+            logits, deltas = [], []
+            for name in self.cfg.rpn_in_features:
+                lg, dl = self.rpn_head(feature[name])
+                logits.append(lg)
+                deltas.append(dl)
+            return jnp.concatenate(logits, axis=1), jnp.concatenate(deltas, axis=1)
         return self.rpn_head(feature)
 
     def box(self, pooled: jnp.ndarray, train: bool = False, mc_dropout: bool = False):
@@ -216,8 +291,24 @@ class SampledProposals(NamedTuple):
     valid: jnp.ndarray  # [B, S]
 
 
-def anchors_for(cfg: DetectorConfig, canvas_hw: Tuple[int, int]) -> jnp.ndarray:
-    """Anchor grid for a padded canvas (trace-time constant)."""
+def anchors_for(cfg: DetectorConfig, canvas_hw: Tuple[int, int]):
+    """Anchor grid(s) for a padded canvas (trace-time constant).
+
+    Single-level: one [N, 4] array. FPN: a tuple of per-level [N_l, 4] arrays
+    in `rpn_in_features` order (matching `FasterRCNN.rpn`'s concatenation) —
+    `propose` needs the per-level split for d2's per-level pre-NMS top-k,
+    `rpn_losses` concatenates them (d2 matches over all levels at once).
+    """
+    if cfg.fpn:
+        per_level = []
+        for name, sizes in zip(cfg.rpn_in_features, cfg.level_anchor_sizes):
+            stride = cfg._level_stride(name)
+            fh = (canvas_hw[0] + stride - 1) // stride
+            fw = (canvas_hw[1] + stride - 1) // stride
+            per_level.append(
+                generate_anchors((fh, fw), stride, sizes, cfg.anchor_ratios)
+            )
+        return tuple(per_level)
     stride = cfg.stride
     fh = (canvas_hw[0] + stride - 1) // stride
     fw = (canvas_hw[1] + stride - 1) // stride
@@ -226,7 +317,7 @@ def anchors_for(cfg: DetectorConfig, canvas_hw: Tuple[int, int]) -> jnp.ndarray:
 
 def propose(
     cfg: DetectorConfig,
-    anchors: jnp.ndarray,
+    anchors,
     rpn_out: RPNOutput,
     image_sizes: jnp.ndarray,
     training: bool,
@@ -238,9 +329,18 @@ def propose(
     NMS. Here the tiled NMS cost scales with K^2/T, and because the single
     stride-16/32 level has ~10-40k anchors with heavy overlap, 2048 pre-NMS
     candidates retain recall while keeping the NMS fixpoint fast on the VPU.
+
+    FPN (`anchors` a per-level tuple): d2 semantics — pre-NMS top-k is taken
+    PER LEVEL, candidates from all levels are merged, one NMS runs over the
+    merged set, post-NMS top-k across levels (find_top_rpn_proposals,
+    proposal_utils.py). The merged set is capped back to `pre_k` by score
+    before NMS to bound the fixpoint size (same clamp philosophy as above;
+    recall cost measured nil — tools/measure_rpn_caps.py).
     """
     pre_k = cfg.rpn_pre_nms_topk_train if training else cfg.rpn_pre_nms_topk_test
     post_k = cfg.rpn_post_nms_topk_train if training else cfg.rpn_post_nms_topk_test
+    if isinstance(anchors, (tuple, list)):
+        return _propose_fpn(cfg, anchors, rpn_out, image_sizes, pre_k, post_k)
     pre_k = min(pre_k, anchors.shape[0])
     post_k = min(post_k, pre_k)
 
@@ -263,15 +363,69 @@ def propose(
     return jax.vmap(per_image)(rpn_out.objectness, rpn_out.deltas, image_sizes)
 
 
+def _propose_fpn(
+    cfg: DetectorConfig,
+    anchors: Tuple[jnp.ndarray, ...],
+    rpn_out: RPNOutput,
+    image_sizes: jnp.ndarray,
+    pre_k: int,
+    post_k: int,
+) -> Instances:
+    """Multi-level proposal selection (see `propose` docstring)."""
+    counts = [a.shape[0] for a in anchors]
+    total = rpn_out.objectness.shape[1]
+    assert total == sum(counts), (
+        f"RPN prediction count {total} != anchor count {sum(counts)} "
+        f"(per level {counts}) — feature/anchor grid mismatch"
+    )
+    merged_k = min(pre_k, sum(min(pre_k, n) for n in counts))
+    post_k = min(post_k, merged_k)
+
+    def per_image(obj, deltas, size):
+        cand_boxes, cand_scores = [], []
+        off = 0
+        for a, n in zip(anchors, counts):
+            k = min(pre_k, n)
+            vals, idx = jax.lax.top_k(obj[off : off + n], k)
+            d = jnp.take(deltas[off : off + n], idx, axis=0)
+            boxes = RPN_BOX_TRANSFORM.apply_deltas(d, jnp.take(a, idx, axis=0))
+            cand_boxes.append(boxes)
+            cand_scores.append(vals)
+            off += n
+        boxes = clip_boxes(jnp.concatenate(cand_boxes), size)
+        vals = jnp.concatenate(cand_scores)
+        valid = nonempty(boxes) & jnp.isfinite(vals)
+        # cap the merged candidate set before the NMS fixpoint
+        key = jnp.where(valid, vals, -jnp.inf)
+        top_vals, top_idx = jax.lax.top_k(key, merged_k)
+        boxes = jnp.take(boxes, top_idx, axis=0)
+        vals = jnp.take(vals, top_idx, axis=0)
+        valid = jnp.take(valid, top_idx, axis=0)
+        keep = nms_mask_matrix(boxes, vals, valid, cfg.rpn_nms_thresh)
+        inst = Instances(
+            boxes=boxes,
+            scores=vals,
+            classes=jnp.zeros((merged_k,), jnp.int32),
+            valid=keep,
+        )
+        return inst.top_k(post_k)
+
+    return jax.vmap(per_image)(rpn_out.objectness, rpn_out.deltas, image_sizes)
+
+
 def rpn_losses(
     cfg: DetectorConfig,
-    anchors: jnp.ndarray,
+    anchors,
     rpn_out: RPNOutput,
     gt: Instances,
     rng: jax.Array,
 ) -> Dict[str, jnp.ndarray]:
     """RPN objectness + box regression losses (detectron2 normalisation:
-    sum over sampled anchors / (B * rpn_batch_size_per_image))."""
+    sum over sampled anchors / (B * rpn_batch_size_per_image)). For FPN,
+    anchors from all levels are concatenated and matched jointly — exactly
+    d2's label_and_sample_anchors over Boxes.cat(all levels)."""
+    if isinstance(anchors, (tuple, list)):
+        anchors = jnp.concatenate(anchors, axis=0)
     b = rpn_out.objectness.shape[0]
 
     def per_image(gt_i: Instances, rng_i):
@@ -333,17 +487,68 @@ def label_and_sample_proposals(
     return SampledProposals(boxes, classes, reg_targets, is_fg, valid)
 
 
-def pool_rois(
-    cfg: DetectorConfig, feature: jnp.ndarray, boxes: jnp.ndarray
+def dc_image_feature(cfg: DetectorConfig, feature) -> jnp.ndarray:
+    """The single feature map the image-level domain classifier consumes:
+    identity for single-level backbones, `cfg.dc_in_feature` (the coarsest
+    ROI level) when the backbone is an FPN dict. The reference's DAOD domain
+    heads are single-level (no reference YAML combines FPN with DC)."""
+    return feature[cfg.dc_in_feature] if isinstance(feature, dict) else feature
+
+
+def assign_boxes_to_levels(
+    boxes: jnp.ndarray,  # [..., 4] XYXY
+    min_level: int,
+    max_level: int,
+    canonical_box_size: float = 224.0,
+    canonical_level: int = 4,
 ) -> jnp.ndarray:
-    """feature [B, h, w, C], boxes [B, R, 4] -> pooled [B*R, P, P, C]."""
+    """detectron2's ROIPooler level-assignment rule (poolers.py
+    assign_boxes_to_levels): level = floor(canonical_level +
+    log2(sqrt(area) / canonical_box_size + 1e-8)), clamped to the pyramid.
+    Returns int32 levels with the same leading shape as `boxes`."""
+    area = jnp.maximum(boxes[..., 2] - boxes[..., 0], 0.0) * jnp.maximum(
+        boxes[..., 3] - boxes[..., 1], 0.0
+    )
+    lvl = jnp.floor(
+        canonical_level + jnp.log2(jnp.sqrt(area) / canonical_box_size + 1e-8)
+    )
+    return jnp.clip(lvl, min_level, max_level).astype(jnp.int32)
+
+
+def pool_rois(cfg: DetectorConfig, feature, boxes: jnp.ndarray) -> jnp.ndarray:
+    """feature [B, h, w, C] (or FPN level dict), boxes [B, R, 4] ->
+    pooled [B*R, P, P, C].
+
+    FPN: boxes are level-assigned with d2's rule (`assign_boxes_to_levels`)
+    and each box is pooled from its assigned level. TPU formulation: pool
+    every box on every ROI level (static shapes, the MXU-matmul ROIAlign) and
+    one-hot-select per box — a Python loop of L accumulate steps, so only two
+    [B*R, P, P, C] buffers are live at once and XLA fuses the mask-multiply
+    into each ROIAlign's output contraction. L× ROIAlign FLOPs, but ROIAlign
+    is small next to the backbone and gathers/ragged batching would break the
+    static-shape contract.
+    """
+    b, r = boxes.shape[:2]
+    if isinstance(feature, dict):
+        levels = [int(name[1:]) for name in cfg.roi_in_features]
+        lvl = assign_boxes_to_levels(boxes, min(levels), max(levels))  # [B, R]
+        pooled = None
+        for name, l in zip(cfg.roi_in_features, levels):
+            scale = 1.0 / (2 ** l)
+            p_l = jax.vmap(
+                lambda f, bx, s=scale: roi_align(
+                    f, bx, s, cfg.pooler_resolution, cfg.pooler_sampling_ratio, True
+                )
+            )(feature[name], boxes)
+            mask = (lvl == l).astype(p_l.dtype)[..., None, None, None]
+            pooled = p_l * mask if pooled is None else pooled + p_l * mask
+        return pooled.reshape(b * r, cfg.pooler_resolution, cfg.pooler_resolution, -1)
     scale = 1.0 / cfg.stride
     pooled = jax.vmap(
         lambda f, bx: roi_align(
             f, bx, scale, cfg.pooler_resolution, cfg.pooler_sampling_ratio, True
         )
     )(feature, boxes)
-    b, r = boxes.shape[:2]
     return pooled.reshape(b * r, cfg.pooler_resolution, cfg.pooler_resolution, -1)
 
 

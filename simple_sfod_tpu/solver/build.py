@@ -204,10 +204,27 @@ def with_frozen(base, freeze_at: int):
     def frozen_mask(params):
         return backbone_freeze_mask(params, freeze_at)
 
-    return optax.chain(
+    masked = optax.chain(
         optax.masked(base, trainable_mask),
         optax.masked(optax.set_to_zero(), frozen_mask),
     )
+
+    # When the mask matches nothing (e.g. VGG backbones, which d2's FREEZE_AT
+    # does not apply to), fall through to the unwrapped optimizer so the
+    # opt_state pytree structure — and therefore checkpoint resume — is
+    # identical to a freeze_at=0 run. The mask depends only on param NAMES,
+    # so this branch is decided once at init/trace time.
+    def _nothing_frozen(params):
+        return not any(jax.tree.leaves(backbone_freeze_mask(params, freeze_at)))
+
+    def init_fn(params):
+        return base.init(params) if _nothing_frozen(params) else masked.init(params)
+
+    def update_fn(grads, state, params=None):
+        tx = base if _nothing_frozen(params) else masked
+        return tx.update(grads, state, params)
+
+    return optax.GradientTransformation(init_fn, update_fn)
 
 
 def apply_gradients(optimizer, grads, opt_state, params):

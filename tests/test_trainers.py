@@ -63,6 +63,32 @@ def one_batch(cfg, loader):
 
 
 class TestSFATStep:
+    def test_split_view_bn_matches_two_pass_reference_semantics(self):
+        """SEMISUPNET.SPLIT_VIEW_BN=True must produce EXACTLY the
+        reference's two-forward BN bookkeeping: running statistics nudged
+        twice, each view by its own batch stats. With flip and strong aug
+        disabled the two views are identical, so the post-step stats must
+        equal two sequential train-mode BN passes on the same images."""
+        cfg = tiny_cfg("source_free_adaptive_teacher_single")
+        cfg.INPUT.RANDOM_FLIP = "none"
+        cfg.WEAK_STRONG_AUGMENT = False
+        cfg.SEMISUPNET.SPLIT_VIEW_BN = True
+        tr = build_trainer(cfg, synthetic=True)
+        batch = one_batch(tr.cfg, tr.build_train_loader())
+        v0 = {
+            "params": jax.device_get(tr.state.params["det"]),
+            "batch_stats": jax.device_get(tr.state.batch_stats),
+        }
+        imgs = jnp.asarray(batch["images"], jnp.float32)
+        s1 = tr.detector.bn_update(v0, imgs)
+        s2 = tr.detector.bn_update({"params": v0["params"], "batch_stats": s1}, imgs)
+        tr.run_step(batch)
+        got = jax.device_get(tr.state.batch_stats)
+        want = jax.device_get(s2)
+        jax.tree.map(
+            lambda a, b: np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-5), got, want
+        )
+
     def test_step_updates_student_keeps_fixed_teacher(self):
         tr = build_trainer(tiny_cfg("source_free_adaptive_teacher"), synthetic=True)
         batch = one_batch(tr.cfg, tr.build_train_loader())

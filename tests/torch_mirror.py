@@ -1,0 +1,443 @@
+"""Pure-PyTorch mirror of the supervised Faster R-CNN training step, for the
+lockstep training-dynamics differential (PARITY_EVIDENCE residual #1).
+
+This is an INDEPENDENT reimplementation of the same detectron2 semantics the
+JAX pipeline rebuilds (reference call chain: daod/modeling/proposal_generator/
+rpn.py + roi_heads/*), written with native torch modules on purpose:
+
+  * torch.nn.BatchNorm2d  — torch's running-stat bookkeeping (unbiased
+    variance, momentum=0.1) vs flax's (biased variance, momentum=0.9);
+  * torch.optim.SGD       — torch's coupled weight-decay + momentum update
+    vs optax add_decayed_weights + sgd;
+  * torchvision roi_align/nms — the CUDA-semantics ops the reference uses.
+
+So a lockstep run measures the JOINT drift of our optax/flax/functional-BN
+stack against the reference's torch stack over many steps — exactly the
+residual PARITY_EVIDENCE.md could previously only bound component-wise.
+
+Determinism contract (so the two frameworks see identical decisions, not
+just similar ones): sampling is configured to "take everything" — the RPN
+batch size >= #anchors and ROI batch size >= #candidates with positive
+fraction 1.0 — which makes detectron2's subsampling the identity on both
+sides (see tests/test_lockstep_torch.py::lockstep_config).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Dict, List, Tuple
+
+import numpy as np
+import torch
+import torch.nn.functional as F
+
+SCALE_CLAMP = math.log(1000.0 / 16)
+
+
+def tv_nms(boxes: torch.Tensor, scores: torch.Tensor, thresh: float,
+           max_keep: int = None) -> torch.Tensor:
+    """Greedy NMS (torchvision semantics: suppress IoU > thresh), pure torch.
+    torchvision is not in this image, so the greedy algorithm is written out;
+    with `max_keep` it stops after that many keeps — exact, because greedy
+    keeps arrive in descending score order."""
+    order = torch.argsort(scores, descending=True)
+    boxes = boxes[order]
+    iou = pairwise_iou(boxes, boxes)
+    n = boxes.shape[0]
+    alive = torch.ones(n, dtype=torch.bool)
+    keep = []
+    for _ in range(n):
+        idx = alive.nonzero(as_tuple=True)[0]
+        if idx.numel() == 0:
+            break
+        pick = idx[0]  # highest-scoring survivor (boxes are score-sorted)
+        keep.append(pick)
+        if max_keep is not None and len(keep) >= max_keep:
+            break
+        alive &= iou[pick] <= thresh
+        alive[pick] = False
+    return order[torch.stack(keep)] if keep else torch.zeros(0, dtype=torch.long)
+
+
+def tv_roi_align(feat: torch.Tensor, rois: torch.Tensor, output_size,
+                 spatial_scale: float, sampling_ratio: int,
+                 aligned: bool = True) -> torch.Tensor:
+    """ROIAlign (torchvision `aligned=True` semantics — the exact math of
+    tests/golden.py's scalar oracle), vectorised and differentiable w.r.t.
+    `feat`. feat [B, C, H, W]; rois [N, 5] (batch_idx, x1, y1, x2, y2) ->
+    [N, C, P, P]."""
+    out = output_size[0]
+    s = sampling_ratio
+    b_idx = rois[:, 0].long()
+    n = rois.shape[0]
+    h, w = feat.shape[2], feat.shape[3]
+    off = 0.5 if aligned else 0.0
+    x1 = rois[:, 1] * spatial_scale - off
+    y1 = rois[:, 2] * spatial_scale - off
+    x2 = rois[:, 3] * spatial_scale - off
+    y2 = rois[:, 4] * spatial_scale - off
+    bw = (x2 - x1) / out
+    bh = (y2 - y1) / out
+    grid = torch.arange(out * s, dtype=feat.dtype)
+    frac = grid // s + ((grid % s) + 0.5) / s  # [out*s] in bin units
+    ys = y1[:, None] + frac[None, :] * bh[:, None]  # [N, out*s]
+    xs = x1[:, None] + frac[None, :] * bw[:, None]
+
+    def gather_axis(p, dim):
+        ok = (p >= -1.0) & (p <= dim)
+        pc = p.clamp(0.0, dim - 1)
+        p0 = pc.floor().long()
+        p1 = (p0 + 1).clamp(max=dim - 1)
+        lp = pc - p0.to(feat.dtype)
+        return ok, p0, p1, lp
+
+    oky, ye0, ye1, ly = gather_axis(ys, h)
+    okx, xe0, xe1, lx = gather_axis(xs, w)
+    fb = feat[b_idx]  # [N, C, H, W]
+    ar = torch.arange(n)[:, None, None]
+
+    def corner(yi, xi):
+        # [N, out*s, out*s] gather -> [N, C, out*s, out*s]
+        return fb[ar, :, yi[:, :, None], xi[:, None, :]].permute(0, 3, 1, 2)
+
+    v = (
+        corner(ye0, xe0) * ((1 - ly)[:, :, None] * (1 - lx)[:, None, :])[:, None]
+        + corner(ye0, xe1) * ((1 - ly)[:, :, None] * lx[:, None, :])[:, None]
+        + corner(ye1, xe0) * (ly[:, :, None] * (1 - lx)[:, None, :])[:, None]
+        + corner(ye1, xe1) * (ly[:, :, None] * lx[:, None, :])[:, None]
+    )
+    mask = (oky[:, :, None] & okx[:, None, :]).to(feat.dtype)[:, None]
+    v = v * mask
+    v = v.reshape(n, -1, out, s, out, s).mean(dim=(3, 5))
+    return v
+
+
+# ---------------------------------------------------------------------------
+# box math (d2 Box2BoxTransform / pairwise_iou, torch edition)
+# ---------------------------------------------------------------------------
+
+
+def encode_deltas(src: torch.Tensor, tgt: torch.Tensor, weights) -> torch.Tensor:
+    sw = (src[..., 2] - src[..., 0]).clamp_min(1e-6)
+    sh = (src[..., 3] - src[..., 1]).clamp_min(1e-6)
+    scx = src[..., 0] + 0.5 * sw
+    scy = src[..., 1] + 0.5 * sh
+    tw = (tgt[..., 2] - tgt[..., 0]).clamp_min(1e-6)
+    th = (tgt[..., 3] - tgt[..., 1]).clamp_min(1e-6)
+    tcx = tgt[..., 0] + 0.5 * (tgt[..., 2] - tgt[..., 0])
+    tcy = tgt[..., 1] + 0.5 * (tgt[..., 3] - tgt[..., 1])
+    wx, wy, ww, wh = weights
+    return torch.stack(
+        [
+            wx * (tcx - scx) / sw,
+            wy * (tcy - scy) / sh,
+            ww * torch.log(tw / sw),
+            wh * torch.log(th / sh),
+        ],
+        dim=-1,
+    )
+
+
+def decode_deltas(deltas: torch.Tensor, boxes: torch.Tensor, weights) -> torch.Tensor:
+    """deltas [..., 4k], boxes [..., 4] -> [..., 4k]."""
+    w = (boxes[..., 2] - boxes[..., 0]).clamp_min(1e-6)
+    h = (boxes[..., 3] - boxes[..., 1]).clamp_min(1e-6)
+    cx = boxes[..., 0] + 0.5 * w
+    cy = boxes[..., 1] + 0.5 * h
+    wx, wy, ww, wh = weights
+    d = deltas.reshape(*deltas.shape[:-1], -1, 4)
+    dx = d[..., 0] / wx
+    dy = d[..., 1] / wy
+    dw = (d[..., 2] / ww).clamp_max(SCALE_CLAMP)
+    dh = (d[..., 3] / wh).clamp_max(SCALE_CLAMP)
+    pcx = dx * w[..., None] + cx[..., None]
+    pcy = dy * h[..., None] + cy[..., None]
+    pw = torch.exp(dw) * w[..., None]
+    ph = torch.exp(dh) * h[..., None]
+    out = torch.stack(
+        [pcx - 0.5 * pw, pcy - 0.5 * ph, pcx + 0.5 * pw, pcy + 0.5 * ph], dim=-1
+    )
+    return out.reshape(*deltas.shape)
+
+
+def pairwise_iou(a: torch.Tensor, b: torch.Tensor) -> torch.Tensor:
+    """[N, 4] x [M, 4] -> [N, M]."""
+    lt = torch.maximum(a[:, None, :2], b[None, :, :2])
+    rb = torch.minimum(a[:, None, 2:], b[None, :, 2:])
+    wh = (rb - lt).clamp_min(0)
+    inter = wh[..., 0] * wh[..., 1]
+    area_a = ((a[:, 2] - a[:, 0]) * (a[:, 3] - a[:, 1]))[:, None]
+    area_b = ((b[:, 2] - b[:, 0]) * (b[:, 3] - b[:, 1]))[None, :]
+    union = area_a + area_b - inter
+    return torch.where(union > 0, inter / union.clamp_min(1e-30), torch.zeros_like(inter))
+
+
+def clip_boxes(boxes: torch.Tensor, hw: Tuple[int, int]) -> torch.Tensor:
+    h, w = hw
+    return torch.stack(
+        [
+            boxes[..., 0].clamp(0, w),
+            boxes[..., 1].clamp(0, h),
+            boxes[..., 2].clamp(0, w),
+            boxes[..., 3].clamp(0, h),
+        ],
+        dim=-1,
+    )
+
+
+def match_boxes(iou: torch.Tensor, thresholds, labels, allow_low_quality):
+    """d2 Matcher. iou [M_gt, N]. Returns (matched_idx [N], match_labels [N])."""
+    if iou.numel() == 0:
+        n = iou.shape[1]
+        return torch.zeros(n, dtype=torch.long), torch.zeros(n, dtype=torch.long)
+    vals, idx = iou.max(dim=0)
+    out = torch.full_like(vals, labels[0], dtype=torch.long)
+    for thr, lbl in zip(thresholds, labels[1:]):
+        out = torch.where(vals >= thr, torch.tensor(lbl), out)
+    if allow_low_quality:
+        per_gt_best = iou.max(dim=1, keepdim=True).values  # [M, 1]
+        is_best = (iou >= per_gt_best) & (per_gt_best > 0)
+        low_quality = is_best.any(dim=0)
+        out = torch.where(low_quality, torch.tensor(1), out)
+    return idx, out
+
+
+# ---------------------------------------------------------------------------
+# model
+# ---------------------------------------------------------------------------
+
+
+class TorchTinyFasterRCNN(torch.nn.Module):
+    """Mirror of FasterRCNN(cfg backbone='tiny'): 2x (conv3x3 -> BN -> relu ->
+    maxpool2), RPN head, 2-FC box head, predictor. NCHW."""
+
+    def __init__(self, num_classes: int, num_anchors: int, fc_dim: int, pooler: int,
+                 width: int = 16, bn: bool = True):
+        super().__init__()
+        self.bn = bn
+        self.conv0 = torch.nn.Conv2d(3, width, 3, padding=1)
+        self.conv1 = torch.nn.Conv2d(width, width, 3, padding=1)
+        if bn:
+            self.bn0 = torch.nn.BatchNorm2d(width, eps=1e-5, momentum=0.1)
+            self.bn1 = torch.nn.BatchNorm2d(width, eps=1e-5, momentum=0.1)
+        self.rpn_conv = torch.nn.Conv2d(width, width, 3, padding=1)
+        self.rpn_obj = torch.nn.Conv2d(width, num_anchors, 1)
+        self.rpn_delta = torch.nn.Conv2d(width, num_anchors * 4, 1)
+        self.fc0 = torch.nn.Linear(width * pooler * pooler, fc_dim)
+        self.fc1 = torch.nn.Linear(fc_dim, fc_dim)
+        self.cls_score = torch.nn.Linear(fc_dim, num_classes + 1)
+        self.bbox_pred = torch.nn.Linear(fc_dim, num_classes * 4)
+        self.pooler = pooler
+
+    def features(self, x: torch.Tensor) -> torch.Tensor:
+        x = self.conv0(x)
+        if self.bn:
+            x = self.bn0(x)
+        x = F.max_pool2d(F.relu(x), 2)
+        x = self.conv1(x)
+        if self.bn:
+            x = self.bn1(x)
+        return F.max_pool2d(F.relu(x), 2)
+
+    def rpn(self, feat: torch.Tensor):
+        """-> (objectness [B, h*w*A], deltas [B, h*w*A, 4]) in the NHWC
+        flatten order the JAX side uses (anchors.py grid order)."""
+        t = F.relu(self.rpn_conv(feat))
+        b = feat.shape[0]
+        obj = self.rpn_obj(t).permute(0, 2, 3, 1).reshape(b, -1)
+        dl = self.rpn_delta(t).permute(0, 2, 3, 1).reshape(b, -1, 4)
+        return obj, dl
+
+    def box(self, pooled: torch.Tensor):
+        """pooled [N, C, P, P] -> (scores, deltas). Flatten in NHWC order to
+        match the flax box head's fc0 weight layout."""
+        x = pooled.permute(0, 2, 3, 1).reshape(pooled.shape[0], -1)
+        x = F.relu(self.fc0(x))
+        x = F.relu(self.fc1(x))
+        return self.cls_score(x), self.bbox_pred(x)
+
+    # -- weight transplant from the flax detector ---------------------------
+
+    def load_flax(self, params: Dict, batch_stats: Dict) -> None:
+        """Copy a flax FasterRCNN(tiny) variables tree into this module."""
+
+        def conv(m, p):
+            m.weight.data = torch.from_numpy(
+                np.asarray(p["kernel"]).transpose(3, 2, 0, 1).copy()
+            )
+            m.bias.data = torch.from_numpy(np.asarray(p["bias"]).copy())
+
+        def dense(m, p):
+            m.weight.data = torch.from_numpy(np.asarray(p["kernel"]).T.copy())
+            m.bias.data = torch.from_numpy(np.asarray(p["bias"]).copy())
+
+        bb = params["backbone"]
+        conv(self.conv0, bb["conv0"])
+        conv(self.conv1, bb["conv1"])
+        if self.bn:
+            sb = batch_stats["backbone"]
+            for i, m in ((0, self.bn0), (1, self.bn1)):
+                m.weight.data = torch.from_numpy(np.asarray(bb[f"bn{i}"]["scale"]).copy())
+                m.bias.data = torch.from_numpy(np.asarray(bb[f"bn{i}"]["bias"]).copy())
+                m.running_mean.data = torch.from_numpy(np.asarray(sb[f"bn{i}"]["mean"]).copy())
+                m.running_var.data = torch.from_numpy(np.asarray(sb[f"bn{i}"]["var"]).copy())
+        conv(self.rpn_conv, params["rpn_head"]["conv"])
+        conv(self.rpn_obj, params["rpn_head"]["objectness"])
+        conv(self.rpn_delta, params["rpn_head"]["deltas"])
+        dense(self.fc0, params["box_head"]["fc0"])
+        dense(self.fc1, params["box_head"]["fc1"])
+        dense(self.cls_score, params["predictor"]["cls_score"])
+        dense(self.bbox_pred, params["predictor"]["bbox_pred"])
+
+    def export_flax_like(self) -> Dict[str, np.ndarray]:
+        """Flat {path: array} view in flax layout for drift comparison."""
+        out = {}
+
+        def conv(name, m):
+            out[f"{name}/kernel"] = m.weight.detach().numpy().transpose(2, 3, 1, 0)
+            out[f"{name}/bias"] = m.bias.detach().numpy()
+
+        def dense(name, m):
+            out[f"{name}/kernel"] = m.weight.detach().numpy().T
+            out[f"{name}/bias"] = m.bias.detach().numpy()
+
+        conv("backbone/conv0", self.conv0)
+        conv("backbone/conv1", self.conv1)
+        if self.bn:
+            for i, m in ((0, self.bn0), (1, self.bn1)):
+                out[f"backbone/bn{i}/scale"] = m.weight.detach().numpy()
+                out[f"backbone/bn{i}/bias"] = m.bias.detach().numpy()
+                out[f"backbone/bn{i}/mean"] = m.running_mean.detach().numpy()
+                out[f"backbone/bn{i}/var"] = m.running_var.detach().numpy()
+        conv("rpn_head/conv", self.rpn_conv)
+        conv("rpn_head/objectness", self.rpn_obj)
+        conv("rpn_head/deltas", self.rpn_delta)
+        dense("box_head/fc0", self.fc0)
+        dense("box_head/fc1", self.fc1)
+        dense("predictor/cls_score", self.cls_score)
+        dense("predictor/bbox_pred", self.bbox_pred)
+        return out
+
+
+# ---------------------------------------------------------------------------
+# supervised step (loss + SGD), d2 semantics
+# ---------------------------------------------------------------------------
+
+
+class TorchLockstepTrainer:
+    """One supervised Faster R-CNN step per call, matching the JAX side's
+    Detector.supervised_losses + optax SGD under the take-all sampling
+    contract."""
+
+    def __init__(self, model: TorchTinyFasterRCNN, cfg, anchors: np.ndarray,
+                 lr: float, momentum: float, weight_decay: float):
+        self.model = model
+        self.cfg = cfg
+        self.anchors = torch.from_numpy(np.asarray(anchors, np.float32).copy())
+        self.opt = torch.optim.SGD(
+            model.parameters(), lr=lr, momentum=momentum, weight_decay=weight_decay
+        )
+        self.rpn_w = (1.0, 1.0, 1.0, 1.0)
+        self.roi_w = (10.0, 10.0, 5.0, 5.0)
+
+    def _rpn_losses(self, obj, deltas, gt_boxes: List[torch.Tensor]):
+        cfg = self.cfg
+        b = obj.shape[0]
+        normalizer = float(b * cfg.rpn_batch_size_per_image)
+        loss_cls = obj.new_zeros(())
+        loss_loc = obj.new_zeros(())
+        for i in range(b):
+            iou = pairwise_iou(gt_boxes[i], self.anchors)
+            matched_idx, labels = match_boxes(iou, (0.3, 0.7), (0, -1, 1), True)
+            sel = labels >= 0  # take-all contract: batch size >= #anchors
+            pos = labels == 1
+            tgt = (labels == 1).float()
+            ce = F.binary_cross_entropy_with_logits(obj[i], tgt, reduction="none")
+            loss_cls = loss_cls + (ce * sel.float()).sum() / normalizer
+            matched_gt = gt_boxes[i][matched_idx] if gt_boxes[i].numel() else torch.zeros_like(self.anchors)
+            reg_t = encode_deltas(self.anchors, matched_gt, self.rpn_w)
+            l1 = (deltas[i] - reg_t).abs().sum(-1)
+            loss_loc = loss_loc + (l1 * pos.float()).sum() / normalizer
+        return loss_cls, loss_loc
+
+    def _propose(self, obj, deltas, hw, training=True):
+        cfg = self.cfg
+        post_k = cfg.rpn_post_nms_topk_train if training else cfg.rpn_post_nms_topk_test
+        out = []
+        for i in range(obj.shape[0]):
+            boxes = decode_deltas(deltas[i], self.anchors, self.rpn_w)
+            boxes = clip_boxes(boxes, hw)
+            scores = obj[i]
+            valid = ((boxes[:, 2] > boxes[:, 0]) & (boxes[:, 3] > boxes[:, 1])
+                     & torch.isfinite(scores))
+            idx = valid.nonzero(as_tuple=True)[0]
+            keep = tv_nms(boxes[idx], scores[idx], cfg.rpn_nms_thresh, max_keep=post_k)
+            keep = idx[keep]
+            out.append(boxes[keep].detach())
+        return out
+
+    def step(self, images_nchw: np.ndarray, gt_boxes: List[np.ndarray],
+             gt_classes: List[np.ndarray], hw: Tuple[int, int]):
+        cfg = self.cfg
+        m = self.model
+        m.train()
+        x = torch.from_numpy(images_nchw.astype(np.float32))
+        mean = torch.tensor(cfg.pixel_mean).view(1, 3, 1, 1)
+        std = torch.tensor(cfg.pixel_std).view(1, 3, 1, 1)
+        feat = m.features((x - mean) / std)
+        obj, deltas = m.rpn(feat)
+        gtb = [torch.from_numpy(np.asarray(g, np.float32)) for g in gt_boxes]
+        gtc = [torch.from_numpy(np.asarray(c, np.int64)) for c in gt_classes]
+        loss_rpn_cls, loss_rpn_loc = self._rpn_losses(obj, deltas, gtb)
+        proposals = self._propose(obj, deltas, hw)
+
+        # ROI: pool = proposals + gt (proposal_append_gt), match, take all
+        rois, cls_t, reg_t, fg_mask = [], [], [], []
+        total_sampled = 0
+        for i, props in enumerate(proposals):
+            pool = torch.cat([props, gtb[i]], dim=0)
+            iou = pairwise_iou(gtb[i], pool)
+            matched_idx, labels = match_boxes(iou, (0.5,), (0, 1), False)
+            # take-all: roi batch size >= #candidates, fraction 1.0
+            assert pool.shape[0] <= cfg.roi_batch_size_per_image, (
+                f"take-all contract violated: {pool.shape[0]} candidates"
+            )
+            is_fg = labels == 1
+            cls = torch.where(is_fg, gtc[i][matched_idx], torch.tensor(cfg.num_classes))
+            rt = encode_deltas(pool, gtb[i][matched_idx], self.roi_w)
+            batch_col = torch.full((pool.shape[0], 1), float(i))
+            rois.append(torch.cat([batch_col, pool], dim=1))
+            cls_t.append(cls)
+            reg_t.append(rt)
+            fg_mask.append(is_fg)
+            total_sampled += pool.shape[0]
+        rois = torch.cat(rois)
+        cls_t = torch.cat(cls_t)
+        reg_t = torch.cat(reg_t)
+        fg_mask = torch.cat(fg_mask)
+
+        pooled = tv_roi_align(
+            feat, rois, (m.pooler, m.pooler), spatial_scale=0.25,
+            sampling_ratio=cfg.pooler_sampling_ratio, aligned=True,
+        )
+        scores, box_deltas = m.box(pooled)
+        denom = float(total_sampled)
+        loss_cls = F.cross_entropy(scores, cls_t, reduction="sum") / denom
+        k = box_deltas.shape[-1] // 4
+        d = box_deltas.reshape(-1, k, 4)
+        cls_idx = cls_t.clamp(0, k - 1)
+        fg_d = d[torch.arange(d.shape[0]), cls_idx]
+        l1 = (fg_d - reg_t).abs().sum(-1)
+        loss_reg = (l1 * fg_mask.float()).sum() / denom
+
+        total = loss_rpn_cls + loss_rpn_loc + loss_cls + loss_reg
+        self.opt.zero_grad()
+        total.backward()
+        self.opt.step()
+        return {
+            "loss_rpn_cls": float(loss_rpn_cls.detach()),
+            "loss_rpn_loc": float(loss_rpn_loc.detach()),
+            "loss_cls": float(loss_cls.detach()),
+            "loss_box_reg": float(loss_reg.detach()),
+            "total_loss": float(total.detach()),
+        }

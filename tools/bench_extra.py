@@ -95,6 +95,46 @@ def bench_inference():
     }))
 
 
+def bench_eval_batches(batches=(1, 4, 8)):
+    """Eval-path throughput vs TEST.IMS_PER_BATCH (VERDICT r2 next #8: the
+    eval path had only a batch-1 measurement). Same pipelined, fresh-input
+    discipline as bench_inference."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    trainer, cfg = _trainer(1)
+    variables = trainer.state.teacher_variables()
+    infer = jax.jit(lambda v, i, s, eps: trainer.detector.infer(v, i + eps, s))
+    rs = np.random.RandomState(0)
+    for b in batches:
+        sizes = jnp.asarray([[600, 1200]] * b, jnp.int32)
+        image = jnp.asarray(
+            rs.uniform(0, 255, (b, *cfg.TPU.CANVAS, 3)).astype(np.float32)
+        )
+        step = [0]
+
+        def call():
+            step[0] += 1
+            return infer(variables, image, sizes, jnp.float32(step[0] * 1e-6))
+
+        out = [call() for _ in range(4)]
+        [np.asarray(o.scores) for o in out]
+        rates = []
+        n_calls = max(4, 32 // b)
+        for _ in range(5):
+            t0 = time.perf_counter()
+            out = [call() for _ in range(n_calls)]
+            [np.asarray(o.scores) for o in out]
+            rates.append(n_calls * b / (time.perf_counter() - t0))
+        rates.sort()
+        print(json.dumps({
+            "metric": f"eval_imgs_per_sec_per_chip_batch{b}",
+            "value": round(rates[len(rates) // 2], 3), "unit": "imgs/s/chip",
+            "best": round(rates[-1], 3), "windows": [round(r, 2) for r in rates],
+        }))
+
+
 def bench_batch4():
     trainer, cfg = _trainer(4)
     batch = _batch(cfg, 4)
@@ -115,6 +155,8 @@ def main():
     which = sys.argv[1] if len(sys.argv) > 1 else "all"
     if which in ("inference", "all"):
         bench_inference()
+    if which in ("eval_batches", "all"):
+        bench_eval_batches()
     if which in ("batch4", "all"):
         bench_batch4()
 

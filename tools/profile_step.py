@@ -86,14 +86,17 @@ def main():
 
         trainer, cfg = build_trainer(args.trainer)
         batch = synthetic_batch(cfg)
+        import numpy as np
+
         for _ in range(3):
             metrics = trainer.run_step(batch)
-        jax.block_until_ready(metrics["total_loss"])
+        np.asarray(metrics["total_loss"])  # materialize: block_until_ready
+        # can return early on the tunnel backend (BENCH_NOTES hazards)
 
         with device_trace(args.out):
             for _ in range(args.steps):
                 metrics = trainer.run_step(batch)
-            jax.block_until_ready(metrics["total_loss"])
+            np.asarray(metrics["total_loss"])
         print(f"trace written to {args.out}")
 
     summarize_xplane(args.out, args.top)
