@@ -132,14 +132,55 @@ def _merge_torch(target: Any, params: Any, stats: Any) -> Any:
 
 
 def _merge_weights(target: Any, loaded: Any) -> Any:
-    """Copy params/batch_stats (or teacher/student variants) from a loaded
-    tree into the target state, keeping step/opt_state fresh."""
+    """Copy weights from a loaded train-state tree into the target state,
+    keeping step/opt_state fresh — STRUCTURE-AWARE across trainer types
+    (the reference's DetectionTSCheckpointer load is similarly promiscuous:
+    any stage's model_final feeds any later stage, WORKFLOWS §1-4):
+
+      * base/wq checkpoints keep detector params at the top level; DC and
+        teacher-student trainers nest them under params["det"] — the
+        detector tree is unwrapped/rewrapped to fit the target.
+      * extra param groups present in both (dc, dc_ins, da_*) overlay by
+        name; groups absent from the checkpoint keep their fresh init
+        (non-strict, like the torch import path).
+      * teacher copies load from the checkpoint's teacher if it has one,
+        else BOTH teacher and student start from the checkpoint's detector
+        (reference sfat.py:50-64), with distinct buffers (donation-safe).
+    """
     import dataclasses
 
+    if not (isinstance(loaded, dict) and "params" in loaded):
+        # raw variables tree (not a saved train state)
+        return loaded
+
+    loaded_params = loaded["params"]
+    det_p = (
+        loaded_params["det"]
+        if isinstance(loaded_params, dict) and "det" in loaded_params
+        else loaded_params
+    )
+    stats = loaded.get("batch_stats", {})
+    teacher_p = loaded.get("teacher_params", det_p)
+    teacher_s = loaded.get("teacher_stats", stats)
+
     updates = {}
-    for field in ("params", "batch_stats", "teacher_params", "teacher_stats"):
-        if isinstance(loaded, dict) and field in loaded and hasattr(target, field):
-            updates[field] = loaded[field]
-    if dataclasses.is_dataclass(target) and updates:
+    tparams = target.params
+    if isinstance(tparams, dict) and "det" in tparams:
+        new_p = dict(tparams)
+        new_p["det"] = _overlay(tparams["det"], det_p)
+        for k in new_p:
+            if k != "det" and isinstance(loaded_params, dict) and k in loaded_params:
+                new_p[k] = _overlay(new_p[k], loaded_params[k])
+        updates["params"] = new_p
+    else:
+        updates["params"] = _overlay(tparams, det_p)
+    if hasattr(target, "batch_stats"):
+        updates["batch_stats"] = _overlay(target.batch_stats, stats)
+    if hasattr(target, "teacher_params"):
+        updates["teacher_params"] = _overlay(target.teacher_params, teacher_p, copy=True)
+        updates["teacher_stats"] = _overlay(target.teacher_stats, teacher_s, copy=True)
+    if dataclasses.is_dataclass(target):
         return dataclasses.replace(target, **updates)
-    return loaded
+    out = dict(target)
+    out.update(updates)
+    return out

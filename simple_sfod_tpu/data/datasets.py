@@ -126,31 +126,44 @@ def register_all_datasets(root: Optional[str] = None):
     """Register the reference's dataset name patterns (datasets.py:41-105)."""
     root = root or _root()
     cs = os.path.join(root, "cityscapes")
+    cs_foggy = os.path.join(root, "cityscapes_foggy")
 
-    def reg(name, json_rel, img_rel, classes=CITYSCAPES_THING_CLASSES):
+    def reg(name, base, json_rel, img_rel, classes=CITYSCAPES_THING_CLASSES):
         if name not in DATASET_REGISTRY:
             register_dataset(
-                name, os.path.join(cs, json_rel), os.path.join(cs, img_rel), classes
+                name, os.path.join(base, json_rel), os.path.join(base, img_rel), classes
             )
 
+    # image_root is the dataset BASE dir in the reference
+    # (register_coco_instances(name, {}, json, base_path)) — annotation
+    # file_names carry the leftImg8bit*/split/... subpath themselves
     for split in ("train", "val", "test"):
         reg(
             f"cityscapes_instancesonly_{split}",
+            cs,
             f"annotations/instancesonly_filtered_gtFine_{split}.json",
-            f"leftImg8bit/{split}",
+            "",
         )
+        # foggy lives under cityscapes_foggy/ (reference
+        # daod/data/datasets.py:45-62: base_path = root/cityscapes_foggy,
+        # json = instancesonly_filtered_gtFine_{split}_{fog}.json)
         for beta in ("0.02", "0.01", "0.005"):
             reg(
                 f"cityscapes_instancesonly_foggy_{split}_foggy_beta_{beta}",
+                cs_foggy,
                 f"annotations/instancesonly_filtered_gtFine_{split}_foggy_beta_{beta}.json",
-                f"leftImg8bit_foggy/{split}",
+                "",
             )
-        # AdaBN / fixed-pseudo-label spliced annotation files
-        # (prediction_to_gt.py output re-registered as GT)
+        # AdaBN / fixed-pseudo-label spliced annotation files: the reference
+        # regex parses "...foggy_{split}_{fog}" for ARBITRARY fog suffixes,
+        # so "cityscapes_instancesonly_foggy_train_adabn" resolves to
+        # instancesonly_filtered_gtFine_train_adabn.json (the
+        # prediction_to_gt.py output re-registered as GT)
         reg(
             f"cityscapes_instancesonly_foggy_{split}_adabn",
-            f"annotations/instancesonly_filtered_gtFine_{split}_foggy_adabn.json",
-            f"leftImg8bit_foggy/{split}",
+            cs_foggy,
+            f"annotations/instancesonly_filtered_gtFine_{split}_adabn.json",
+            "",
         )
 
     sim = os.path.join(root, "sim10k")

@@ -560,6 +560,15 @@ class SourceFreeAdaptiveTeacherTrainer(BaseTrainer):
                     f"[eval:{tag}] {name}: AP50={res.get('AP50'):.2f} AP={res.get('AP'):.2f}",
                     flush=True,
                 )
+        # same persisted summary as BaseTrainer.test (the workflow driver
+        # and offline tooling read eval_results.json from every stage)
+        import json
+        import os
+
+        from .base import _jsonable
+
+        with open(os.path.join(self.output_dir, "eval_results.json"), "w") as f:
+            json.dump(_jsonable(results), f, indent=2)
         return results
 
 

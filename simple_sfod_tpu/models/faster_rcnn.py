@@ -234,8 +234,17 @@ class FasterRCNN(nn.Module):
 
     def features(self, images: jnp.ndarray, train: bool = False):
         """images: [B, H, W, 3] raw pixels -> in_feature map [B, h, w, C], or
-        (FPN mode) the dict of pyramid levels the heads consume."""
+        (FPN mode) the dict of pyramid levels the heads consume.
+
+        Accepts the loaders' uint8 canvases directly: integer inputs are
+        promoted to f32 BEFORE mean subtraction — building the mean constant
+        in the input dtype would make `images - mean` wrap around in uint8
+        arithmetic (a silent all-paths eval corruption caught by the 5-stage
+        workflow artifact run; regression test in tests/test_detector_paths.py).
+        """
         c = self.cfg
+        if not jnp.issubdtype(images.dtype, jnp.floating):
+            images = images.astype(jnp.float32)
         mean = jnp.asarray(c.pixel_mean, images.dtype)
         std = jnp.asarray(c.pixel_std, images.dtype)
         x = (images - mean) / std

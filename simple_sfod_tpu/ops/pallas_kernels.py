@@ -26,7 +26,11 @@ TILE = 128
 def _suppress_relation_kernel(boxes_ref, valid_ref, thr_ref, out_ref):
     """One (TILE, TILE) tile of the suppression relation.
 
-    boxes_ref: [N, 4] (full, VMEM)    valid_ref: [N, 1] float (full, VMEM)
+    boxes_ref: [4, N] transposed coords (full, VMEM — N on the lane axis, so
+               the whole array is a handful of aligned vector rows; the
+               direct [N, 4] layout would put 4 on the lanes AND needs loads
+               from ANY-space refs, which the TPU backend rejects)
+    valid_ref: [1, N] float (full, VMEM)
     thr_ref:   [1, 1] (SMEM)          out_ref:   [TILE, TILE] bool tile
     """
     i = pl.program_id(0)
@@ -34,28 +38,29 @@ def _suppress_relation_kernel(boxes_ref, valid_ref, thr_ref, out_ref):
     row0 = i * TILE
     col0 = j * TILE
 
-    rows = boxes_ref[pl.ds(row0, TILE), :]  # [T, 4] suppressor candidates
-    cols = boxes_ref[pl.ds(col0, TILE), :]  # [T, 4] suppressees
+    rows = boxes_ref[:, pl.ds(row0, TILE)]  # [4, T] suppressor candidates
+    cols = boxes_ref[:, pl.ds(col0, TILE)]  # [4, T] suppressees
 
-    lt_x = jnp.maximum(rows[:, None, 0], cols[None, :, 0])
-    lt_y = jnp.maximum(rows[:, None, 1], cols[None, :, 1])
-    rb_x = jnp.minimum(rows[:, None, 2], cols[None, :, 2])
-    rb_y = jnp.minimum(rows[:, None, 3], cols[None, :, 3])
+    lt_x = jnp.maximum(rows[0][:, None], cols[0][None, :])
+    lt_y = jnp.maximum(rows[1][:, None], cols[1][None, :])
+    rb_x = jnp.minimum(rows[2][:, None], cols[2][None, :])
+    rb_y = jnp.minimum(rows[3][:, None], cols[3][None, :])
     inter = jnp.maximum(rb_x - lt_x, 0.0) * jnp.maximum(rb_y - lt_y, 0.0)
-    area_r = (rows[:, 2] - rows[:, 0]) * (rows[:, 3] - rows[:, 1])
-    area_c = (cols[:, 2] - cols[:, 0]) * (cols[:, 3] - cols[:, 1])
+    area_r = (rows[2] - rows[0]) * (rows[3] - rows[1])
+    area_c = (cols[2] - cols[0]) * (cols[3] - cols[1])
     union = area_r[:, None] + area_c[None, :] - inter
     iou = jnp.where(union > 0.0, inter / jnp.where(union > 0.0, union, 1.0), 0.0)
 
     # strict upper triangle in GLOBAL indices (row suppresses later col)
     gi = row0 + jax.lax.broadcasted_iota(jnp.int32, (TILE, TILE), 0)
     gj = col0 + jax.lax.broadcasted_iota(jnp.int32, (TILE, TILE), 1)
-    vr = valid_ref[pl.ds(row0, TILE), :] > 0.5  # [T, 1]
-    vc = valid_ref[pl.ds(col0, TILE), :] > 0.5
+    # validity combined in f32: Mosaic only supports minor-dim insertion
+    # (the [T] -> [T, 1] broadcast) for 32-bit types, not i1 vectors
+    vr = valid_ref[0, pl.ds(row0, TILE)]  # [T] float
+    vc = valid_ref[0, pl.ds(col0, TILE)]
+    vmask = (vr[:, None] * vc[None, :]) > 0.25
 
-    out_ref[:, :] = (
-        (iou > thr_ref[0, 0]) & (gi < gj) & vr & vc[:, 0][None, :]
-    )
+    out_ref[:, :] = (iou > thr_ref[0, 0]) & (gi < gj) & vmask
 
 
 def suppress_relation(
@@ -79,8 +84,11 @@ def suppress_relation(
         out_shape=jax.ShapeDtypeStruct((n_pad, n_pad), jnp.bool_),
         grid=grid,
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY if not interpret else pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY if not interpret else pltpu.VMEM),
+            # whole [4, N] / [1, N] arrays live in VMEM for every tile (N on
+            # the lane axis; a few KB even at N=4096) — loads from ANY-space
+            # refs are illegal on the TPU backend
+            pl.BlockSpec((4, n_pad), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n_pad), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
         out_specs=pl.BlockSpec(
@@ -88,8 +96,8 @@ def suppress_relation(
         ),
         interpret=interpret,
     )(
-        boxes.astype(jnp.float32),
-        valid.astype(jnp.float32)[:, None],
+        boxes.astype(jnp.float32).T,
+        valid.astype(jnp.float32)[None, :],
         thr,
     )
     return rel[:n, :n]

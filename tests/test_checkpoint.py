@@ -28,6 +28,64 @@ class TestCheckpointer:
         np.testing.assert_allclose(loaded["params"]["w"], np.arange(6).reshape(2, 3))
         assert int(loaded["step"]) == 7
 
+    def test_cross_trainer_load_base_into_sfat(self, tmp_path):
+        """WORKFLOWS §1-4 chain a base/wq model_final into the SFAT trainer
+        (MODEL.WEIGHTS): the flat base params must be rewrapped into the
+        teacher-student {'det': ...} structure, with BOTH teacher and student
+        initialised from the checkpoint (distinct buffers). Regression for
+        the KeyError('det') the 5-stage workflow run exposed."""
+        import jax as jax_
+
+        from test_trainers import tiny_cfg  # noqa: E402 (tests dir on path)
+        from simple_sfod_tpu.engine.trainers import build_trainer
+
+        base_cfg = tiny_cfg("base")
+        base_cfg.OUTPUT_DIR = str(tmp_path / "base")
+        base_tr = build_trainer(base_cfg, synthetic=True)
+        base_tr.checkpointer.save("model_final", base_tr.state)
+
+        sfat_cfg = tiny_cfg("source_free_adaptive_teacher")
+        sfat_cfg.OUTPUT_DIR = str(tmp_path / "sfat")
+        sfat_cfg.MODEL.WEIGHTS = str(tmp_path / "base" / "model_final")
+        sfat_tr = build_trainer(sfat_cfg, synthetic=True)
+        sfat_tr.resume_or_load(resume=False)
+
+        assert "det" in sfat_tr.state.params
+        src = jax_.device_get(base_tr.state.params)
+        got_student = jax_.device_get(sfat_tr.state.params["det"])
+        got_teacher = jax_.device_get(sfat_tr.state.teacher_params)
+        jax_.tree.map(np.testing.assert_allclose, got_student, src)
+        jax_.tree.map(
+            lambda a, b: np.testing.assert_allclose(a, b, atol=1e-6), got_teacher, src
+        )
+        # one SFAT step runs on the loaded state (the workflow's stage 5)
+        batch = next(iter(sfat_tr.build_train_loader()))
+        m = sfat_tr.run_step(batch)
+        assert np.isfinite(float(m["total_loss"]))
+
+    def test_cross_trainer_load_sfat_into_base(self, tmp_path):
+        """The reverse direction (eval a SFAT model with the base trainer):
+        the nested {'det': ...} checkpoint unwraps onto flat base params."""
+        import jax as jax_
+
+        from test_trainers import tiny_cfg  # noqa: E402
+        from simple_sfod_tpu.engine.trainers import build_trainer
+
+        sfat_cfg = tiny_cfg("source_free_adaptive_teacher")
+        sfat_cfg.OUTPUT_DIR = str(tmp_path / "sfat")
+        sfat_tr = build_trainer(sfat_cfg, synthetic=True)
+        sfat_tr.checkpointer.save("model_final", sfat_tr.state)
+
+        base_cfg = tiny_cfg("base")
+        base_cfg.OUTPUT_DIR = str(tmp_path / "base")
+        base_cfg.MODEL.WEIGHTS = str(tmp_path / "sfat" / "model_final")
+        base_tr = build_trainer(base_cfg, synthetic=True)
+        base_tr.resume_or_load(resume=False)
+
+        src = jax_.device_get(sfat_tr.state.params["det"])
+        got = jax_.device_get(base_tr.state.params)
+        jax_.tree.map(np.testing.assert_allclose, got, src)
+
 
 def _fake_torch_vgg_sd(bn=True):
     """Construct a torchvision-layout vgg16_bn state dict with numpy arrays."""

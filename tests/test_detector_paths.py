@@ -85,3 +85,40 @@ class TestBPCInStep:
         )(v, DetectionBatch(images, sizes, gt), jax.random.key(2))
         assert "loss_bpc" in metrics
         assert np.isfinite(float(metrics["loss_bpc"]))
+
+
+class TestUint8Input:
+    def test_uint8_canvas_equals_float_input(self):
+        """Loaders ship uint8 canvases; the detector must promote them to f32
+        BEFORE mean subtraction. Regression: the mean constant used to be
+        built in the INPUT dtype, so uint8 inputs wrapped around under
+        `images - mean` and every eval-loop / AdaBN forward saw corrupted
+        pixels (training paths cast to f32 in the trainers and were safe)."""
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+
+        from simple_sfod_tpu.models.detector import Detector
+        from simple_sfod_tpu.models.faster_rcnn import DetectorConfig
+
+        cfg = DetectorConfig(
+            num_classes=3,
+            backbone="tiny",
+            in_feature="tiny1",
+            rpn_pre_nms_topk_test=64,
+            rpn_post_nms_topk_test=32,
+            fc_dim=32,
+            detections_per_image=16,
+        )
+        det = Detector(cfg)
+        v = det.init(jax.random.key(0), (32, 64))
+        img_u8 = np.random.RandomState(0).randint(0, 256, (1, 32, 64, 3), np.uint8)
+        sizes = jnp.asarray([[32, 64]], jnp.int32)
+        d_float = det.infer(v, jnp.asarray(img_u8, jnp.float32), sizes)
+        d_uint8 = det.infer(v, jnp.asarray(img_u8), sizes)
+        np.testing.assert_allclose(
+            np.asarray(d_float.boxes), np.asarray(d_uint8.boxes), atol=1e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(d_float.scores), np.asarray(d_uint8.scores), atol=1e-6
+        )

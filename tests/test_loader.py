@@ -113,3 +113,33 @@ class TestResizeParityD2:
         )
         np.testing.assert_array_equal(out, want)
         np.testing.assert_allclose(scale, [nw / 217, nh / 101])
+
+
+class TestRegistryPathConsistency:
+    def test_eager_and_lazy_registration_agree_on_json_paths(self):
+        """register_all_datasets (eager) and _register_by_pattern (lazy) must
+        resolve the same name to the same annotation file — the 5-stage
+        workflow run caught them disagreeing on the foggy base dir and the
+        _adabn filename (reference semantics: daod/data/datasets.py:45-62,
+        foggy under cityscapes_foggy/, arbitrary {fog} suffix)."""
+        from simple_sfod_tpu.data import datasets as D
+
+        names = [
+            "cityscapes_instancesonly_foggy_train_foggy_beta_0.02",
+            "cityscapes_instancesonly_foggy_val_foggy_beta_0.02",
+            "cityscapes_instancesonly_foggy_train_adabn",
+            "cityscapes_instancesonly_val",
+        ]
+        saved = dict(D.DATASET_REGISTRY)
+        try:
+            for name in names:
+                D.DATASET_REGISTRY.clear()
+                D._register_by_pattern(name, root="/R")
+                lazy = D.DATASET_REGISTRY[name]["json_file"]
+                D.DATASET_REGISTRY.clear()
+                D.register_all_datasets(root="/R")
+                eager = D.DATASET_REGISTRY[name]["json_file"]
+                assert lazy == eager, (name, lazy, eager)
+        finally:
+            D.DATASET_REGISTRY.clear()
+            D.DATASET_REGISTRY.update(saved)

@@ -11,15 +11,22 @@ BENCH_NOTES.md: vary an input every rep, end with a materializing read.
 """
 
 import argparse
+import os
+import sys
 import time
 
 import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--n", type=int, default=2048)
     ap.add_argument("--reps", type=int, default=20)
+    ap.add_argument("--scan", type=int, default=0,
+                    help="K NMS calls per dispatch via lax.scan (isolates "
+                         "device time from the tunnel RTT)")
     args = ap.parse_args()
 
     from simple_sfod_tpu.utils.env import setup_cache
@@ -42,6 +49,53 @@ def main():
         scores = r.uniform(0, 1, (args.n,)).astype(np.float32)
         valid = np.ones((args.n,), bool)
         return jnp.asarray(boxes), jnp.asarray(scores), jnp.asarray(valid)
+
+    if args.scan > 0:
+        import jax.numpy as jnp2
+
+        def scanned(core):
+            def run(b, s, v):
+                def body(_, x):
+                    bb, ss = x
+                    return None, core(bb, ss, v, 0.7)
+
+                _, keeps = jax.lax.scan(body, None, (b, s))
+                return keeps
+
+            return jax.jit(run)
+
+        variants = {
+            "matrix_fixpoint": scanned(nms_mask_matrix),
+            "pallas_relation": scanned(nms_mask_pallas),
+        }
+
+        def make_scan_inputs(seed):
+            b, s, v = make_inputs(seed)
+            r = np.random.RandomState(seed + 10_000)
+            bs = jnp.asarray(
+                np.stack([np.asarray(b) + r.uniform(-2, 2) for _ in range(args.scan)])
+            )
+            ss = jnp.asarray(
+                np.stack([np.asarray(s) * r.uniform(0.9, 1.1) for _ in range(args.scan)])
+            )
+            return bs, ss, v
+
+        for name, fn in variants.items():
+            t0 = time.time()
+            out = np.asarray(fn(*make_scan_inputs(0)))
+            compile_s = time.time() - t0
+            times = []
+            for i in range(args.reps):
+                xs = make_scan_inputs(i + 1)
+                t0 = time.time()
+                np.asarray(fn(*xs))
+                times.append((time.time() - t0) / args.scan)
+            med = sorted(times)[len(times) // 2]
+            print(
+                f"{name} (scan {args.scan}/dispatch): compile+first {compile_s:.1f}s, "
+                f"median {med * 1e3:.2f}ms/NMS over {args.reps} dispatches"
+            )
+        return
 
     variants = {
         "matrix_fixpoint": jax.jit(

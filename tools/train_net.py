@@ -66,10 +66,21 @@ def main(args, eval_mode: str = "test"):
     cfg = setup(args)
     register_all_datasets()
     if args.synthetic:
+        from simple_sfod_tpu.data.datasets import get_dataset
         from simple_sfod_tpu.data.synthetic import register_synthetic
 
         for name in list(cfg.DATASETS.TRAIN) + list(cfg.DATASETS.TRAIN_TARGET) + list(cfg.DATASETS.TEST):
-            register_synthetic(name, num_images=8, num_classes=cfg.MODEL.ROI_HEADS.NUM_CLASSES)
+            # Prefer real on-disk annotations when the name resolves (the
+            # loader synthesizes PIXELS either way under synthetic=True) —
+            # this lets the fixed-pseudo-label workflow splice a detections
+            # dump into a JSON and feed it back through the real CLIs
+            # (WORKFLOWS §3) without datasets. Fall back to a fully
+            # synthetic registration when no JSON exists.
+            try:
+                get_dataset(name)
+                print(f"[synthetic] {name}: on-disk annotations + synthesized pixels")
+            except Exception:
+                register_synthetic(name, num_images=8, num_classes=cfg.MODEL.ROI_HEADS.NUM_CLASSES)
 
     trainer = build_trainer(cfg, synthetic=args.synthetic)
     trainer.resume_or_load(resume=args.resume)
