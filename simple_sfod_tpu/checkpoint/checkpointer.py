@@ -87,16 +87,35 @@ def _is_torch_file(path: str) -> bool:
 
 def _overlay(base: Any, new: Any, copy: bool = False) -> Any:
     """Recursively replace leaves of `base` with same-named leaves of `new`;
-    keys absent from `new` keep their base values (non-strict import)."""
+    keys absent from `new` keep their base values (non-strict import).
+    Shape- and structure-checked: a checkpoint leaf whose shape disagrees
+    with the target (e.g. chaining stages with different NUM_CLASSES/FC_DIM)
+    keeps the fresh init with a warning, instead of being spliced in
+    verbatim and failing later as an opaque XLA shape/donation error —
+    the reference's name-matching load skips shape mismatches the same way."""
     import jax.numpy as jnp
 
     if isinstance(base, dict):
+        if new is not None and not isinstance(new, dict):
+            print(f"[checkpoint] skipping leaf-for-subtree mismatch (kept init)")
+            return base
         out = dict(base)
         for k, v in (new or {}).items():
             if k in out:
                 out[k] = _overlay(out[k], v, copy)
         return out
     if new is None:
+        return base
+    if isinstance(new, dict):
+        print(f"[checkpoint] skipping subtree-for-leaf mismatch (kept init)")
+        return base
+    base_shape = getattr(base, "shape", None)
+    new_shape = getattr(jnp.asarray(new), "shape", None)
+    if base_shape is not None and new_shape != base_shape:
+        print(
+            f"[checkpoint] shape mismatch {new_shape} vs target {base_shape}; "
+            "keeping fresh init for this leaf"
+        )
         return base
     # preserve the target leaf's dtype (e.g. a bf16 fixed-teacher tree)
     dtype = getattr(base, "dtype", None)

@@ -213,8 +213,18 @@ class DetectionLoader:
             yield item
 
 
-def gt_instances(batch: ArrayBatch) -> Instances:
-    """Device-side GT view of a batch (leading dim = batch)."""
+def gt_instances(batch: ArrayBatch, host: bool = False) -> Instances:
+    """GT view of a batch (leading dim = batch). host=True keeps numpy
+    leaves — the chunked multi-step stackers (run_step_chunk) host-stack K
+    steps and upload ONCE; jnp leaves there would cost K uploads plus K
+    readbacks per chunk over the tunnel."""
+    if host:
+        return Instances(
+            boxes=np.asarray(batch["gt_boxes"]),
+            scores=np.ones(batch["gt_classes"].shape, np.float32),
+            classes=np.asarray(batch["gt_classes"]),
+            valid=np.asarray(batch["gt_valid"]),
+        )
     import jax.numpy as jnp
 
     return Instances(

@@ -54,7 +54,7 @@ class AdaptiveTeacherTrainer(SourceFreeAdaptiveTeacherTrainer):
         for b in batches:
             t = next(self.target_loader)
             per.append(
-                (b["images"], b["sizes"], gt_instances(b), t["images"], t["sizes"])
+                (b["images"], b["sizes"], gt_instances(b, host=True), t["images"], t["sizes"])
             )
         xs = shard_batch(self.mesh, self._stack_steps(per), axis=1)
         return self._dispatch_chunk(xs)
@@ -234,7 +234,7 @@ class AdaptiveTeacherTrainer(SourceFreeAdaptiveTeacherTrainer):
         self._step_fn_raw = step_fn
         return jax.jit(step_fn, donate_argnums=(0,))
 
-    def _step_args(self, batch, shard: bool = True):
+    def _step_args(self, batch):
         if self.target_loader is None:
             self.target_loader = iter(self._build_target_loader())
         tgt = next(self.target_loader)
@@ -245,7 +245,7 @@ class AdaptiveTeacherTrainer(SourceFreeAdaptiveTeacherTrainer):
             jnp.asarray(tgt["images"]),
             jnp.asarray(tgt["sizes"]),
         )
-        return shard_batch(self.mesh, args) if shard else args
+        return shard_batch(self.mesh, args)
 
     def run_step(self, batch) -> Dict[str, float]:
         args = self._step_args(batch)

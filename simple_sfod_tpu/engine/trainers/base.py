@@ -233,7 +233,7 @@ class BaseTrainer:
         scan step consumes its own batch; per-step RNG still folds on
         state.step); TPU.STEPS_PER_DISPATCH drives it from the train loop."""
         xs = self._stack_steps(
-            [(b["images"], b["sizes"], gt_instances(b)) for b in batches]
+            [(b["images"], b["sizes"], gt_instances(b, host=True)) for b in batches]
         )
         xs = shard_batch(self.mesh, xs, axis=1)
         return self._dispatch_chunk(xs)

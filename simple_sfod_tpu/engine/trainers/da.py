@@ -45,7 +45,7 @@ class _DATrainerBase(BaseTrainer):
         for b in batches:
             t = next(self.target_loader)
             per.append(
-                (b["images"], b["sizes"], gt_instances(b), t["images"], t["sizes"])
+                (b["images"], b["sizes"], gt_instances(b, host=True), t["images"], t["sizes"])
             )
         xs = shard_batch(self.mesh, self._stack_steps(per), axis=1)
         return self._dispatch_chunk(xs)

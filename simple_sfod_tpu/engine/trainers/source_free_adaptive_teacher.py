@@ -69,12 +69,17 @@ class SourceFreeAdaptiveTeacherTrainer(BaseTrainer):
             raise ValueError(
                 f"Unknown pseudo label boxes methods {cfg.SEMISUPNET.PSEUDO_BBOX_SAMPLE}"
             )
-        if self.dc_enabled and cfg.SEMISUPNET.DIS_TYPE != cfg.MODEL.ROI_HEADS.IN_FEATURES[0]:
-            raise ValueError(
-                f"SEMISUPNET.DIS_TYPE={cfg.SEMISUPNET.DIS_TYPE!r} must equal the heads' "
-                f"in-feature {cfg.MODEL.ROI_HEADS.IN_FEATURES[0]!r} (the image DC consumes "
-                "the shared backbone feature)"
-            )
+        if self.dc_enabled:
+            from ...config.defaults import detector_config_from_cfg
+
+            dc_feat = detector_config_from_cfg(cfg).dc_in_feature
+            if cfg.SEMISUPNET.DIS_TYPE != dc_feat:
+                raise ValueError(
+                    f"SEMISUPNET.DIS_TYPE={cfg.SEMISUPNET.DIS_TYPE!r} must equal the "
+                    f"image DC's input feature {dc_feat!r} (single-level: the heads' "
+                    "in-feature; FPN: the coarsest ROI level — "
+                    "faster_rcnn.DetectorConfig.dc_in_feature)"
+                )
         super().__init__(cfg, synthetic=synthetic)
 
     # -- state ---------------------------------------------------------------

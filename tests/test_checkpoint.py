@@ -28,6 +28,33 @@ class TestCheckpointer:
         np.testing.assert_allclose(loaded["params"]["w"], np.arange(6).reshape(2, 3))
         assert int(loaded["step"]) == 7
 
+    def test_shape_mismatched_leaves_keep_fresh_init(self, tmp_path):
+        """A checkpoint whose leaf shapes disagree with the target (e.g.
+        different NUM_CLASSES between chained stages) must keep the fresh
+        init for those leaves instead of splicing them in and failing later
+        inside XLA (reference name-matching load skips mismatches too)."""
+        from simple_sfod_tpu.checkpoint.checkpointer import _merge_weights
+
+        import dataclasses
+
+        @dataclasses.dataclass
+        class State:
+            params: dict
+            batch_stats: dict
+
+        target = State(
+            params={"cls": jnp.zeros((4, 9)), "shared": jnp.zeros((3,))},
+            batch_stats={},
+        )
+        loaded = {
+            "params": {"cls": np.ones((4, 5)), "shared": np.ones((3,))},
+            "batch_stats": {},
+        }
+        out = _merge_weights(target, loaded)
+        assert out.params["cls"].shape == (4, 9)
+        np.testing.assert_allclose(out.params["cls"], 0.0)  # fresh init kept
+        np.testing.assert_allclose(out.params["shared"], 1.0)  # loaded
+
     def test_cross_trainer_load_base_into_sfat(self, tmp_path):
         """WORKFLOWS §1-4 chain a base/wq model_final into the SFAT trainer
         (MODEL.WEIGHTS): the flat base params must be rewrapped into the

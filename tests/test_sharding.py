@@ -48,3 +48,28 @@ def test_sfat_step_on_two_device_mesh():
     assert np.isfinite(float(m1["total_loss"]))
     assert np.isfinite(float(m2["total_loss"]))
     assert int(tr.state.step) == 2
+
+
+@pytest.mark.skipif(jax.device_count() < 2, reason="needs >=2 devices")
+def test_fpn_supervised_step_on_two_device_mesh():
+    """Multi-level FPN under GSPMD: the level-dict features, per-level RPN
+    concat and level-assigned ROI pooling must partition over a data mesh
+    like the single-level path does."""
+    from simple_sfod_tpu.config import get_cfg
+    from simple_sfod_tpu.data.synthetic import register_synthetic
+    from simple_sfod_tpu.engine.trainers import build_trainer
+
+    cfg = get_cfg()
+    cfg.merge_from_file("configs/synthetic_tiny_fpn.yaml")
+    cfg.SOLVER.MAX_ITER = 2
+    cfg.SOLVER.IMS_PER_BATCH = 2
+    cfg.TPU.MESH_DATA = 2
+    cfg.OUTPUT_DIR = "/tmp/sfod_fpn_shard_test"
+    register_synthetic("synthetic_train", 4, (64, 128), 4, seed=0)
+    register_synthetic("synthetic_test", 2, (64, 128), 4, seed=2)
+    cfg.freeze()
+    tr = build_trainer(cfg, synthetic=True)
+    assert tr.mesh.devices.size == 2
+    batch = next(iter(tr.build_train_loader()))
+    m = tr.run_step(batch)
+    assert np.isfinite(float(m["total_loss"]))

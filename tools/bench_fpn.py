@@ -1,0 +1,91 @@
+"""Multi-level FPN supervised-step throughput at the reference workload
+shape (608x1216, bf16, batch 1/chip) — the round-3 FPN heads measured on
+real hardware, comparable against the single-level headline in bench.py.
+
+Timing discipline per BENCH_NOTES: K steps per dispatch (run_step_chunk /
+lax.scan) so the number tracks the device, inputs varied per window,
+measurements closed by materializing reads.
+
+    python tools/bench_fpn.py [--steps-per-dispatch 10] [--windows 5]
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps-per-dispatch", type=int, default=10)
+    ap.add_argument("--windows", type=int, default=5)
+    ap.add_argument("--dispatches", type=int, default=3)
+    args = ap.parse_args()
+
+    from simple_sfod_tpu.utils.env import setup_cache
+
+    setup_cache()
+    import numpy as np
+
+    from simple_sfod_tpu.config import get_cfg
+    from simple_sfod_tpu.data.synthetic import register_synthetic
+    from simple_sfod_tpu.engine.trainers import build_trainer
+
+    cfg = get_cfg()
+    cfg.merge_from_file("configs/vgg16_fpn_cityscapes_to_foggy_source.yaml")
+    cfg.SOLVER.IMS_PER_BATCH = 1
+    cfg.SOLVER.CHECKPOINT_PERIOD = 0
+    cfg.TEST.EVAL_PERIOD = 0
+    cfg.TEST.VAL_LOSS = False
+    cfg.TPU.MESH_DATA = 1
+    cfg.OUTPUT_DIR = "/tmp/bench_fpn_out"
+    register_synthetic("synthetic_train", 8, tuple(cfg.TPU.CANVAS), 8, seed=0)
+    cfg.DATASETS.TRAIN = ("synthetic_train",)
+    cfg.DATASETS.TEST = ()
+    cfg.freeze()
+
+    tr = build_trainer(cfg, synthetic=True)
+    loader = iter(tr.build_train_loader())
+    k = args.steps_per_dispatch
+
+    def fresh_batches(tag):
+        out = []
+        for _ in range(k):
+            b = dict(next(loader))
+            # vary pixels so the tunnel cannot serve a cached execution
+            b["images"] = b["images"].copy()
+            b["images"][0, 0, 0, 0] = (tag % 251)
+            out.append(b)
+        return out
+
+    t0 = time.time()
+    m = tr.run_step_chunk(fresh_batches(0))
+    np.asarray(m["total_loss"])  # materialize: compile + first run
+    print(f"# compile+first dispatch: {time.time() - t0:.1f}s", flush=True)
+
+    rates = []
+    tag = 1
+    for _ in range(args.windows):
+        chunks = [fresh_batches(tag + i) for i in range(args.dispatches)]
+        tag += args.dispatches
+        t0 = time.perf_counter()
+        for c in chunks:
+            m = tr.run_step_chunk(c)
+        np.asarray(m["total_loss"])
+        dt = time.perf_counter() - t0
+        rates.append(args.dispatches * k * cfg.SOLVER.IMS_PER_BATCH / dt)
+    rates.sort()
+    print(json.dumps({
+        "metric": "fpn_supervised_imgs_per_sec_per_chip",
+        "value": round(rates[len(rates) // 2], 3),
+        "unit": "imgs/s/chip",
+        "best": round(rates[-1], 3),
+        "windows": [round(r, 2) for r in rates],
+    }))
+
+
+if __name__ == "__main__":
+    main()

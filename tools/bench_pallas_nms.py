@@ -51,8 +51,6 @@ def main():
         return jnp.asarray(boxes), jnp.asarray(scores), jnp.asarray(valid)
 
     if args.scan > 0:
-        import jax.numpy as jnp2
-
         def scanned(core):
             def run(b, s, v):
                 def body(_, x):

@@ -140,8 +140,12 @@ def main():
     # -- stage 2: AdaBN refinement; detections dumped over the foggy TRAIN
     # split (the input of the splice), AP reported pre/post AdaBN
     s2 = os.path.join(root, "s2_adabn")
+    # DATASETS.TRAIN too: adabn_refinement pulls its BN-statistics batches
+    # from the TRAIN loader — it must see the foggy TARGET domain (the real
+    # r_101_c4_cs_foggy_adabn.yaml sets TRAIN to the foggy train split)
     run([py, train_mt, "--config-file", CFG, "--synthetic", "--eval-only",
          "MODEL.WEIGHTS", os.path.join(s1, "model_final"),
+         "DATASETS.TRAIN", "('cityscapes_instancesonly_foggy_train_foggy_beta_0.02',)",
          "DATASETS.TEST", "('cityscapes_instancesonly_foggy_train_foggy_beta_0.02',)",
          "OUTPUT_DIR", s2], env, log)
     summary["2_adabn"] = read_ap(s2)
