@@ -15,7 +15,9 @@ import os
 import sys
 
 os.environ["JAX_PLATFORMS"] = "cpu"
-os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=1"
+# devices per process: argv[4] (default 1) -> a num_procs x D global mesh
+_DEV = int(sys.argv[4]) if len(sys.argv) > 4 else 1
+os.environ["XLA_FLAGS"] = f"--xla_force_host_platform_device_count={_DEV}"
 
 import jax
 
@@ -36,16 +38,17 @@ def main():
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     mesh = make_mesh()
-    assert mesh.devices.size == num_procs  # one device per process
+    assert mesh.devices.size == num_procs * _DEV
 
     # full batch, identical on every process; each process feeds ITS shard
     rs = np.random.RandomState(0)
-    full_x = rs.randn(num_procs * 2, 8).astype(np.float32)
-    full_y = rs.randn(num_procs * 2, 1).astype(np.float32)
+    per_proc = 2 * _DEV  # 2 rows per device
+    full_x = rs.randn(num_procs * per_proc, 8).astype(np.float32)
+    full_y = rs.randn(num_procs * per_proc, 1).astype(np.float32)
     w = jnp.asarray(rs.randn(8, 1).astype(np.float32))
 
-    local_x = full_x[pid * 2 : (pid + 1) * 2]
-    local_y = full_y[pid * 2 : (pid + 1) * 2]
+    local_x = full_x[pid * per_proc : (pid + 1) * per_proc]
+    local_y = full_y[pid * per_proc : (pid + 1) * per_proc]
     xs = jax.make_array_from_process_local_data(NamedSharding(mesh, P("data")), jnp.asarray(local_x))
     ys = jax.make_array_from_process_local_data(NamedSharding(mesh, P("data")), jnp.asarray(local_y))
 
