@@ -178,9 +178,17 @@ def gaussian_blur(img, sigma, kernel_size: int = 9):
     return out[:, 0].transpose(1, 2, 0)
 
 
-def random_erasing(rng, img, scale=(0.05, 0.2), ratio=(0.3, 3.3), value="random"):
+def random_erasing(rng, img, scale=(0.05, 0.2), ratio=(0.3, 3.3), value="random",
+                   noise=None):
     """torchvision RandomErasing(p=0.7/0.5/0.3 applied thrice in the
-    reference); one call = one potential rectangle filled with noise."""
+    reference); one call = one potential rectangle filled with noise.
+
+    `noise`: optional precomputed [H, W, C] fill — callers applying several
+    erasings to one image pass ONE sample for all of them (the fill is iid,
+    so reusing the sample only means an overlap region keeps the first
+    rectangle's values instead of being resampled — marginally identical,
+    and it saves a full-canvas normal sample per extra call, a measurable
+    slice of the strong-aug cost at 608x1216; BENCH_NOTES round 3)."""
     h, w = img.shape[0], img.shape[1]
     keys = jax.random.split(rng, 5)
     area = h * w
@@ -196,7 +204,8 @@ def random_erasing(rng, img, scale=(0.05, 0.2), ratio=(0.3, 3.3), value="random"
     rows = jnp.arange(h)[:, None]
     cols = jnp.arange(w)[None, :]
     mask = ((rows >= y0) & (rows < y0 + eh) & (cols >= x0) & (cols < x0 + ew))[..., None]
-    noise = jax.random.normal(keys[4], img.shape) * 255.0
+    if noise is None:
+        noise = jax.random.normal(keys[4], img.shape) * 255.0
     return jnp.where(mask, noise, img)
 
 
@@ -216,9 +225,11 @@ def strong_augment(rng, img):
     sigma = jax.random.uniform(keys[4], (), minval=0.1, maxval=2.0)
     img = jnp.where(do_blur, gaussian_blur(img, sigma), img)
 
+    # one iid noise canvas shared by the three erasings (see random_erasing)
+    noise = jax.random.normal(keys[8], img.shape) * 255.0
     for i, p in enumerate((0.7, 0.5, 0.3)):
         do = jax.random.bernoulli(keys[5 + i], p)
-        erased = random_erasing(keys[8 + i], img)
+        erased = random_erasing(keys[8 + i], img, noise=noise)
         img = jnp.where(do, erased, img)
     return img
 
