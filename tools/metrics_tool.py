@@ -42,70 +42,30 @@ def main():
     )
     args = ap.parse_args()
 
-    import numpy as np
-
-    from simple_sfod_tpu.evaluation.toolkit import load_detections, load_ground_truth
+    from simple_sfod_tpu.evaluation.runner import load_inputs, run_metrics
 
     names = None
     if args.names:
         with open(args.names) as f:
             names = [line.strip() for line in f if line.strip()]
 
-    gts, class_names, table = load_ground_truth(
-        args.gt, args.gt_format, names=names, images_dir=args.img_dir
+    gts, dets, class_names = load_inputs(
+        args.gt, args.gt_format, args.det, args.det_format, names=names, images_dir=args.img_dir
     )
-    dets = load_detections(
-        args.det,
-        args.det_format,
-        table=table,
-        gt_path=args.gt if args.gt_format == "coco" else None,
-        images_dir=args.img_dir,
-    )
-
-    def arrays(rec, det):
-        b = np.asarray(rec.get("boxes", []), np.float64).reshape(-1, 4)
-        c = np.asarray(rec.get("classes", []), np.int64).reshape(-1)
-        if det:
-            s = np.asarray(rec.get("scores", []), np.float64).reshape(-1)
-            return b, s, c
-        return b, c
 
     wanted = {m.strip() for m in args.metrics.split(",") if m.strip()}
     if args.html and "voc" not in wanted:
         print("[metrics] --html computes VOC PR curves: adding the voc metric", file=sys.stderr)
         wanted.add("voc")
-    curves = None
-    results = {}
-    if "coco" in wanted:
-        from simple_sfod_tpu.evaluation.coco_eval import COCOEvaluator
-
-        ev = COCOEvaluator(class_names)
-        # the evaluator's native path wants integer image ids; formats with
-        # filename-stem ids get a dense remap
-        for int_id, (img_id, gt) in enumerate(sorted(gts.items(), key=lambda kv: str(kv[0]))):
-            db, ds, dc = arrays(dets.get(img_id, {}), True)
-            gb, gc = arrays(gt, False)
-            ev.process_image(int_id, db, ds, dc, gb, gc)
-        results["coco"] = ev.evaluate()
-    if "voc" in wanted:
-        from simple_sfod_tpu.evaluation.voc import PascalVOCEvaluator
-
-        ev = PascalVOCEvaluator(class_names, iou_thresh=args.iou, method=args.voc_method)
-        for img_id, gt in gts.items():
-            db, ds, dc = arrays(dets.get(img_id, {}), True)
-            gb, gc = arrays(gt, False)
-            ev.process_image(img_id, db, ds, dc, gb, gc)
-        results["voc"] = ev.evaluate(return_curves=bool(args.html))
-        curves = results["voc"].pop("curves", None)
-    if "f1" in wanted:
-        from simple_sfod_tpu.evaluation.f1 import F1Evaluator
-
-        ev = F1Evaluator(iou_thresh=args.iou)
-        for img_id, gt in gts.items():
-            db, ds, dc = arrays(dets.get(img_id, {}), True)
-            gb, gc = arrays(gt, False)
-            ev.process_image(img_id, db, ds, dc, gb, gc)
-        results["f1"] = ev.evaluate()
+    results, curves = run_metrics(
+        gts,
+        dets,
+        class_names,
+        metrics=wanted,
+        iou=args.iou,
+        voc_method=args.voc_method,
+        want_curves=bool(args.html),
+    )
 
     for key, res in results.items():
         print(f"== {key} ==")
