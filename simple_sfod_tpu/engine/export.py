@@ -35,6 +35,18 @@ from jax import export as jax_export
 _MAGIC = b"SFODX1\n"
 
 
+def cast_floating(variables, dtype):
+    """Cast every floating leaf of a params pytree to `dtype` (ints/bools
+    untouched). The export-time weight cast behind params_dtype."""
+    target = jnp.dtype(dtype)
+    return jax.tree.map(
+        lambda a: a.astype(target)
+        if jnp.issubdtype(jnp.asarray(a).dtype, jnp.floating)
+        else a,
+        variables,
+    )
+
+
 def detection_infer_fn(detector, train_mode_bn: bool = False):
     """The detector's standard inference as a plain-pytree function.
 
@@ -62,6 +74,7 @@ def export_inference(
     bundle_params: bool = True,
     platforms: Optional[Sequence[str]] = None,
     train_mode_bn: bool = False,
+    params_dtype: Optional[str] = None,
 ) -> "jax_export.Exported":
     """Lower + export the inference function for `canvas_hw` canvases.
 
@@ -71,7 +84,13 @@ def export_inference(
     is self-contained; bundle_params=False keeps them as a call-time argument
     (same pytree structure as `variables`). `platforms` pins the lowering
     platforms (e.g. ("tpu", "cpu")); default is the current default backend.
+    params_dtype="bfloat16" casts float params before export — halves the
+    self-contained blob, matching the trainers' bf16 fixed-teacher option
+    (engine/train_state.py); compute dtype is whatever the detector's graph
+    already uses (TPU.DTYPE).
     """
+    if params_dtype:
+        variables = cast_floating(variables, params_dtype)
     h, w = int(canvas_hw[0]), int(canvas_hw[1])
     b = jax_export.symbolic_shape("b")[0] if batch is None else int(batch)
     img_spec = jax.ShapeDtypeStruct((b, h, w, 3), jnp.uint8)

@@ -91,6 +91,70 @@ def test_export_params_as_argument(tiny_detector, tmp_path):
     _assert_matches(reloaded.call(bumped, images, sizes), _direct(det, bumped, images, sizes))
 
 
+def test_export_params_dtype_bf16(tiny_detector, tmp_path):
+    """params_dtype='bfloat16' halves the bundled weights and the artifact
+    still reproduces direct inference over the SAME cast tree exactly."""
+    import jax
+
+    from simple_sfod_tpu.engine.export import (
+        cast_floating,
+        export_inference,
+        load_exported,
+        save_exported,
+    )
+
+    det, variables = tiny_detector
+    f32_path = str(tmp_path / "f32.sfodx")
+    bf16_path = str(tmp_path / "bf16.sfodx")
+    f32_size = save_exported(export_inference(det, variables, (32, 64), batch=1), f32_path)
+    bf16_size = save_exported(
+        export_inference(det, variables, (32, 64), batch=1, params_dtype="bfloat16"),
+        bf16_path,
+    )
+    assert bf16_size < f32_size  # weights dominate the blob; bf16 shrinks it
+
+    cast = cast_floating(variables, "bfloat16")
+    leaves = jax.tree.leaves(cast)
+    assert any(a.dtype == jax.numpy.bfloat16 for a in leaves)
+    assert all(a.dtype != np.float32 or not np.issubdtype(a.dtype, np.floating) for a in leaves)
+
+    reloaded, _ = load_exported(bf16_path)
+    images, sizes = _batch(1)
+    _assert_matches(reloaded.call(images, sizes), _direct(det, cast, images, sizes))
+
+
+def test_export_serves_data_parallel(tiny_detector, tmp_path):
+    """The serving story is TPU-native end to end: one reloaded artifact jits
+    under a data-sharded mesh and matches the unsharded call — batch-parallel
+    serving over N chips needs no model code on the serving host."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    from simple_sfod_tpu.engine.export import export_inference, load_exported, save_exported
+
+    det, variables = tiny_detector
+    # symbolic batch: the SAME artifact serves any per-host batch, so the
+    # mesh size is a deployment choice, not an export-time constant
+    path = str(tmp_path / "serve.sfodx")
+    save_exported(export_inference(det, variables, (32, 64), batch=None), path)
+    reloaded, _ = load_exported(path)
+
+    devices = jax.devices()
+    assert len(devices) >= 8, "conftest forces 8 virtual devices"
+    mesh = Mesh(np.asarray(devices[:8]), ("data",))
+    batch_sharding = NamedSharding(mesh, P("data"))
+    sharded = jax.jit(
+        reloaded.call, in_shardings=(batch_sharding, batch_sharding)
+    )
+
+    images, sizes = _batch(8, seed=7)
+    got = sharded(jnp.asarray(images), jnp.asarray(sizes))
+    # outputs really are distributed over the mesh
+    assert len(got["boxes"].sharding.device_set) == 8
+    _assert_matches(got, _direct(det, variables, images, sizes))
+
+
 def test_load_rejects_non_artifact(tmp_path):
     from simple_sfod_tpu.engine.export import load_exported
 

@@ -46,6 +46,9 @@ def parse_args():
                    help="batch-stat BN at inference (the AdaBN eval probe)")
     p.add_argument("--no-bundle-params", action="store_true",
                    help="keep weights a call-time argument instead of baking them in")
+    p.add_argument("--params-dtype", default=None, metavar="DTYPE",
+                   help="cast float weights before export (e.g. bfloat16 — "
+                   "halves a self-contained artifact)")
     p.add_argument("--selfcheck", action="store_true")
     p.add_argument("--resume", action="store_true", help="load the last OUTPUT_DIR checkpoint")
     p.add_argument("opts", nargs=argparse.REMAINDER, default=[])
@@ -59,7 +62,12 @@ def main():
     setup_cache()
 
     from simple_sfod_tpu.config import get_cfg
-    from simple_sfod_tpu.engine.export import export_inference, load_exported, save_exported
+    from simple_sfod_tpu.engine.export import (
+        cast_floating,
+        export_inference,
+        load_exported,
+        save_exported,
+    )
     from simple_sfod_tpu.engine.trainers import build_trainer
 
     cfg = get_cfg()
@@ -79,6 +87,9 @@ def main():
     else:
         variables = state.variables()
 
+    if args.params_dtype:
+        # cast once here so the selfcheck below compares against the SAME tree
+        variables = cast_floating(variables, args.params_dtype)
     batch = None if args.batch == "poly" else int(args.batch)
     exported = export_inference(
         trainer.detector,
@@ -105,6 +116,7 @@ def main():
         "image_format": cfg.INPUT.FORMAT,
         "class_names": class_names,
         "model": args.model,
+        "params_dtype": args.params_dtype,
         "train_mode_bn": bool(args.train_mode_bn),
         "bundle_params": not args.no_bundle_params,
         "config": os.path.basename(args.config_file),
