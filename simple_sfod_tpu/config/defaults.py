@@ -217,6 +217,11 @@ def get_cfg() -> CfgNode:
     c.TPU.GT_CAPACITY = 64  # max GT instances per image (padded)
     c.TPU.DTYPE = "float32"  # or "bfloat16"
     c.TPU.MESH_DATA = -1  # data-parallel axis size; -1 = all devices
+    # >1 adds a ('data','model') mesh axis that Megatron-shards the box-head
+    # fc layers (fc0 column-, fc1 row-parallel; XLA inserts the collectives —
+    # parallel/mesh.py shard_state). DP remains the right default for this
+    # CNN workload; keep 1 unless the fc head dominates at per-chip batch 1.
+    c.TPU.MESH_MODEL = 1
     # >1: run K consecutive steps per dispatched executable (lax.scan over
     # K stacked batches; paired-loader trainers stack both loaders) —
     # amortizes per-dispatch round trips; periods (log/checkpoint/eval)

@@ -26,7 +26,7 @@ from ...data.loader import build_test_loader, build_train_loader, gt_instances
 from ...data.datasets import get_dataset
 from ...data import transforms as T
 from ...models.detector import DetectionBatch, Detector
-from ...parallel.mesh import make_mesh, shard_batch, replicate
+from ...parallel.mesh import make_mesh, shard_batch, shard_state
 from ...solver.build import build_optimizer, warmup_multistep_schedule
 from ...structures.instances import Instances
 from ...solver.build import apply_gradients
@@ -71,20 +71,22 @@ class BaseTrainer:
         self.cfg = cfg
         self.det_cfg = detector_config_from_cfg(cfg)
         self.detector = Detector(self.det_cfg)
+        mesh_m = max(cfg.TPU.MESH_MODEL, 1)
         if cfg.TPU.MESH_DATA > 0:
             mesh_n = cfg.TPU.MESH_DATA
         else:
-            # data-parallel width must divide every batch it shards
+            # data-parallel width must divide every batch it shards (and,
+            # with a model axis, leave enough devices for data x model)
             import math
 
             mesh_n = math.gcd(
-                len(jax.devices()),
+                len(jax.devices()) // mesh_m,
                 math.gcd(
                     max(cfg.SOLVER.IMS_PER_BATCH, 1),
                     max(cfg.SOLVER.IMS_PER_BATCH_TARGET, 1),
                 ),
             )
-        self.mesh = make_mesh(mesh_n)
+        self.mesh = make_mesh(mesh_n, mesh_m)
         # linear-scaling rule when SOLVER.REFERENCE_WORLD_SIZE is set
         # (reference base.py:38 auto_scale_workers)
         from ...solver.build import auto_scale_workers
@@ -123,7 +125,7 @@ class BaseTrainer:
         )
         seed = max(cfg.SEED, 0)
         self.base_rng = jax.random.key(seed)
-        self.state = replicate(self.mesh, self._init_state())
+        self.state = shard_state(self.mesh, self._init_state())
         self._train_step = self._build_train_step()
         self.train_loader = None
 
@@ -140,7 +142,7 @@ class BaseTrainer:
         )
 
     def resume_or_load(self, resume: bool = False):
-        self.state = replicate(
+        self.state = shard_state(
             self.mesh,
             self.checkpointer.resume_or_load(self.cfg.MODEL.WEIGHTS, self.state, resume),
         )

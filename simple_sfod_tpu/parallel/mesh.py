@@ -1,16 +1,21 @@
-"""Device mesh + data-parallel sharding.
+"""Device mesh + data/tensor-parallel sharding.
 
 The TPU-native replacement for the reference's NCCL/DDP stack (SURVEY §2.3,
-§5): a 1-D `Mesh(('data',))`; batches are sharded on 'data', the train state
-is replicated, and XLA inserts the gradient all-reduce when the jitted step
-runs under the mesh — there is no explicit collective code to maintain.
-Multi-host (the reference's `launch(num_machines=...)`) maps to
+§5): a `Mesh(('data',))` (optionally `('data', 'model')`); batches are
+sharded on 'data', the train state is replicated (or its box-head fc
+parameters tensor-sharded on 'model'), and XLA inserts the gradient
+all-reduce / TP collectives when the jitted step runs under the mesh —
+there is no explicit collective code to maintain. Multi-host (the
+reference's `launch(num_machines=...)`) maps to
 `jax.distributed.initialize` + the same single-program step.
 
-The mesh is 1-D on purpose: the workload is a ~140M-param CNN detector (no
-attention, no long sequences — SURVEY §2.3), so DP saturates ICI long before
-parameter sharding would pay; adding 'model' as a second axis is a local
-change here if a future backbone needs TP.
+DP is the right default for this workload: a ~140M-param CNN detector (no
+attention, no long sequences — SURVEY §2.3) saturates ICI with data
+parallelism long before parameter sharding pays. TPU.MESH_MODEL > 1 adds a
+'model' axis that Megatron-shards the two box-head fc layers (the largest
+matmuls: fc0 column-parallel, fc1 row-parallel — XLA inserts the reduce
+after fc1); useful when per-chip batch is 1 and the head dominates, and it
+is the pattern a future attention backbone would extend.
 """
 
 from __future__ import annotations
@@ -28,10 +33,47 @@ def initialize_distributed(coordinator: Optional[str] = None, num_processes: int
         jax.distributed.initialize(coordinator, num_processes, process_id)
 
 
-def make_mesh(data_axis: int = -1, devices=None) -> Mesh:
+def make_mesh(data_axis: int = -1, model_axis: int = 1, devices=None) -> Mesh:
+    """model_axis=1 keeps the historical 1-D ('data',) mesh (and therefore
+    the compiled-step cache keys); model_axis>1 builds ('data', 'model')."""
     devices = devices if devices is not None else jax.devices()
-    n = len(devices) if data_axis in (-1, 0) else data_axis
-    return Mesh(np.asarray(devices[:n]).reshape(n), ("data",))
+    m = max(int(model_axis), 1)
+    if m == 1:
+        n = len(devices) if data_axis in (-1, 0) else data_axis
+        return Mesh(np.asarray(devices[:n]).reshape(n), ("data",))
+    n = (len(devices) // m) if data_axis in (-1, 0) else data_axis
+    if n * m > len(devices):
+        raise ValueError(
+            f"mesh {n}x{m} needs {n * m} devices, have {len(devices)}"
+        )
+    return Mesh(np.asarray(devices[: n * m]).reshape(n, m), ("data", "model"))
+
+
+def _tp_spec(names, shape, model_size: int) -> P:
+    """Tensor-parallel placement for one state leaf, by pytree path.
+
+    Megatron MLP pattern on the box head (models/heads.py FastRCNNConvFCHead):
+    fc0 kernel column-parallel [in, out/m] + bias sharded, fc1 kernel
+    row-parallel [in/m, out] + bias replicated; XLA inserts the psum after
+    fc1. Matching by path SUFFIX means the rule also catches the same
+    parameter inside optimizer momentum and the EMA teacher tree (both
+    mirror the params structure). Anything non-divisible or unmatched stays
+    replicated."""
+    if "box_head" not in names:
+        return P()
+    leaf = names[-1] if names else ""
+    if "fc0" in names:
+        spec = P(None, "model") if leaf == "kernel" else P("model")
+    elif "fc1" in names:
+        spec = P("model", None) if leaf == "kernel" else P()
+    else:
+        return P()
+    if len(spec) > len(shape):
+        return P()
+    for dim, axis in zip(shape, spec):
+        if axis == "model" and dim % model_size:
+            return P()
+    return spec
 
 
 def shard_batch(mesh: Mesh, tree: Any, axis: int = 0) -> Any:
@@ -56,3 +98,27 @@ def replicate(mesh: Mesh, tree: Any) -> Any:
         return tree
     sharding = NamedSharding(mesh, P())
     return jax.tree.map(lambda x: jax.device_put(x, sharding), tree)
+
+
+def shard_state(mesh: Mesh, tree: Any) -> Any:
+    """Place a train-state pytree on the mesh: replicated everywhere except
+    the box-head fc parameters, which are tensor-sharded over 'model' when
+    that axis exists (see _tp_spec). On a 1-D mesh this IS replicate()."""
+    if mesh.devices.size == 1:
+        return tree
+    if "model" not in mesh.axis_names or mesh.shape["model"] == 1:
+        return replicate(mesh, tree)
+    m = mesh.shape["model"]
+
+    def put(path, x):
+        names = []
+        for k in path:
+            name = getattr(k, "key", None)
+            if name is None:
+                name = getattr(k, "name", None)
+            if name is not None:
+                names.append(str(name))
+        spec = _tp_spec(names, np.shape(x), m)
+        return jax.device_put(x, NamedSharding(mesh, spec))
+
+    return jax.tree_util.tree_map_with_path(put, tree)

@@ -1,5 +1,7 @@
-"""Data-parallel sharding: the full SFAT adaptation step over a 2-device
-mesh inside pytest (the dryrun path, SURVEY §2.3/§5)."""
+"""Data/tensor-parallel sharding: the full SFAT adaptation step over a
+2-device mesh, and the supervised step over a 2x2 ('data','model') mesh
+with Megatron-sharded box-head fc layers, inside pytest (the dryrun path,
+SURVEY §2.3/§5)."""
 
 import numpy as np
 import jax
@@ -48,6 +50,60 @@ def test_sfat_step_on_two_device_mesh():
     assert np.isfinite(float(m1["total_loss"]))
     assert np.isfinite(float(m2["total_loss"]))
     assert int(tr.state.step) == 2
+
+
+def _fc_leaf(params, fc, leaf):
+    """The box-head fc leaf by path suffix, wherever the tree nests it."""
+    for path, x in jax.tree_util.tree_flatten_with_path(params)[0]:
+        names = [str(getattr(k, "key", getattr(k, "name", ""))) for k in path]
+        if "box_head" in names and fc in names and names[-1] == leaf:
+            return x
+    raise AssertionError(f"no {fc}/{leaf} under box_head")
+
+
+@pytest.mark.skipif(jax.device_count() < 4, reason="needs >=4 devices")
+def test_tp_model_axis_numerically_equals_single_device():
+    """TPU.MESH_MODEL=2 on a 2x2 ('data','model') mesh: fc0 column- and fc1
+    row-parallel must produce the same loss and updated params as the same
+    total batch on one device — the TP collectives XLA inserts partition the
+    math, they must not change it."""
+    import __graft_entry__ as g
+    from simple_sfod_tpu.data.synthetic import register_synthetic
+    from simple_sfod_tpu.engine.trainers import build_trainer
+
+    results = {}
+    for tp in (2, 1):
+        cfg = g._tiny_cfg(2, canvas=(32, 64), backbone="tiny")
+        cfg.TRAINER = "base"
+        cfg.TPU.MESH_DATA = 2 if tp == 2 else 1
+        cfg.TPU.MESH_MODEL = tp
+        cfg.OUTPUT_DIR = f"/tmp/sfod_tp_test_{tp}"
+        register_synthetic("synthetic_train", 8, (32, 64), 8, seed=0)
+        cfg.DATASETS.TRAIN = ("synthetic_train",)
+        cfg.freeze()
+        tr = build_trainer(cfg, synthetic=True)
+        if tp == 2:
+            assert dict(tr.mesh.shape) == {"data": 2, "model": 2}
+            k0 = _fc_leaf(tr.state.params, "fc0", "kernel")
+            k1 = _fc_leaf(tr.state.params, "fc1", "kernel")
+            assert "model" in str(k0.sharding.spec), k0.sharding
+            assert "model" in str(k1.sharding.spec), k1.sharding
+            assert len(k0.sharding.device_set) == 4
+        batch = next(iter(tr.build_train_loader()))
+        m = tr.run_step(batch)
+        if tp == 2:
+            # the updated fc kernel is still model-sharded after the step
+            # (no silent gather-back: the sharding survives the update)
+            k0_new = _fc_leaf(tr.state.params, "fc0", "kernel")
+            assert "model" in str(k0_new.sharding.spec), k0_new.sharding
+        results[tp] = (float(m["total_loss"]), jax.device_get(tr.state.params))
+    loss_tp, p_tp = results[2]
+    loss_1, p_1 = results[1]
+    assert abs(loss_tp - loss_1) / max(1.0, abs(loss_1)) < 1e-4, (loss_tp, loss_1)
+    worst = max(
+        jax.tree.leaves(jax.tree.map(lambda a, b: float(np.abs(a - b).max()), p_tp, p_1))
+    )
+    assert worst < 1e-5, worst
 
 
 @pytest.mark.skipif(jax.device_count() < 2, reason="needs >=2 devices")
