@@ -222,6 +222,11 @@ def get_cfg() -> CfgNode:
     # parallel/mesh.py shard_state). DP remains the right default for this
     # CNN workload; keep 1 unless the fc head dominates at per-chip batch 1.
     c.TPU.MESH_MODEL = 1
+    # with MESH_MODEL>1: also shard the image HEIGHT over 'model' (spatial
+    # partitioning — each chip owns a horizontal band, GSPMD inserts the
+    # conv halo exchanges). The only parallelism that helps at per-chip
+    # batch 1, where the step is bandwidth-bound in the early conv layers.
+    c.TPU.SPATIAL_SHARD = False
     # >1: run K consecutive steps per dispatched executable (lax.scan over
     # K stacked batches; paired-loader trainers stack both loaders) —
     # amortizes per-dispatch round trips; periods (log/checkpoint/eval)

@@ -56,7 +56,7 @@ class AdaptiveTeacherTrainer(SourceFreeAdaptiveTeacherTrainer):
             per.append(
                 (b["images"], b["sizes"], gt_instances(b, host=True), t["images"], t["sizes"])
             )
-        xs = shard_batch(self.mesh, self._stack_steps(per), axis=1)
+        xs = shard_batch(self.mesh, self._stack_steps(per), axis=1, spatial=self.cfg.TPU.SPATIAL_SHARD)
         return self._dispatch_chunk(xs)
 
     def build_train_loader(self):
@@ -245,7 +245,7 @@ class AdaptiveTeacherTrainer(SourceFreeAdaptiveTeacherTrainer):
             jnp.asarray(tgt["images"]),
             jnp.asarray(tgt["sizes"]),
         )
-        return shard_batch(self.mesh, args)
+        return shard_batch(self.mesh, args, spatial=self.cfg.TPU.SPATIAL_SHARD)
 
     def run_step(self, batch) -> Dict[str, float]:
         args = self._step_args(batch)

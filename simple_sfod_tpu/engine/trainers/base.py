@@ -194,7 +194,9 @@ class BaseTrainer:
         images = jnp.asarray(batch["images"])
         sizes = jnp.asarray(batch["sizes"])
         gt = gt_instances(batch)
-        images, sizes, gt = shard_batch(self.mesh, (images, sizes, gt))
+        images, sizes, gt = shard_batch(
+            self.mesh, (images, sizes, gt), spatial=self.cfg.TPU.SPATIAL_SHARD
+        )
         self.state, metrics = self._train_step(self.state, images, sizes, gt, self.base_rng)
         return metrics
 
@@ -237,7 +239,7 @@ class BaseTrainer:
         xs = self._stack_steps(
             [(b["images"], b["sizes"], gt_instances(b, host=True)) for b in batches]
         )
-        xs = shard_batch(self.mesh, xs, axis=1)
+        xs = shard_batch(self.mesh, xs, axis=1, spatial=self.cfg.TPU.SPATIAL_SHARD)
         return self._dispatch_chunk(xs)
 
     def _build_val_loss_hook(self):

@@ -47,7 +47,7 @@ class _DATrainerBase(BaseTrainer):
             per.append(
                 (b["images"], b["sizes"], gt_instances(b, host=True), t["images"], t["sizes"])
             )
-        xs = shard_batch(self.mesh, self._stack_steps(per), axis=1)
+        xs = shard_batch(self.mesh, self._stack_steps(per), axis=1, spatial=self.cfg.TPU.SPATIAL_SHARD)
         return self._dispatch_chunk(xs)
 
     def __init__(self, cfg, synthetic: bool = False):
@@ -220,7 +220,7 @@ class _DATrainerBase(BaseTrainer):
             jnp.asarray(tgt["images"]),
             jnp.asarray(tgt["sizes"]),
         )
-        args = shard_batch(self.mesh, args)
+        args = shard_batch(self.mesh, args, spatial=self.cfg.TPU.SPATIAL_SHARD)
         self.state, metrics = self._train_step(self.state, *args, self.base_rng)
         return metrics
 

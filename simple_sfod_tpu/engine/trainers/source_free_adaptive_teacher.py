@@ -457,7 +457,7 @@ class SourceFreeAdaptiveTeacherTrainer(BaseTrainer):
     def run_step(self, batch) -> Dict[str, float]:
         images = jnp.asarray(batch["images"])
         sizes = jnp.asarray(batch["sizes"])
-        images, sizes = shard_batch(self.mesh, (images, sizes))
+        images, sizes = shard_batch(self.mesh, (images, sizes), spatial=self.cfg.TPU.SPATIAL_SHARD)
         self.state, metrics = self._train_step(self.state, images, sizes, self.base_rng)
         self._maybe_visualize(batch)
         return metrics
@@ -488,7 +488,7 @@ class SourceFreeAdaptiveTeacherTrainer(BaseTrainer):
             self._multi_step_n = n
         images = jnp.asarray(batch["images"])
         sizes = jnp.asarray(batch["sizes"])
-        images, sizes = shard_batch(self.mesh, (images, sizes))
+        images, sizes = shard_batch(self.mesh, (images, sizes), spatial=self.cfg.TPU.SPATIAL_SHARD)
         self.state, metrics = self._multi_step(self.state, images, sizes, self.base_rng)
         return metrics
 
@@ -498,7 +498,7 @@ class SourceFreeAdaptiveTeacherTrainer(BaseTrainer):
         (TPU.STEPS_PER_DISPATCH). Pseudo-label visualization fires on the
         chunk's last batch (periodicity approximated to chunk boundaries)."""
         xs = self._stack_steps([(b["images"], b["sizes"]) for b in batches])
-        xs = shard_batch(self.mesh, xs, axis=1)
+        xs = shard_batch(self.mesh, xs, axis=1, spatial=self.cfg.TPU.SPATIAL_SHARD)
         metrics = self._dispatch_chunk(xs)
         self._maybe_visualize(batches[-1])
         return metrics

@@ -76,15 +76,27 @@ def _tp_spec(names, shape, model_size: int) -> P:
     return spec
 
 
-def shard_batch(mesh: Mesh, tree: Any, axis: int = 0) -> Any:
+def shard_batch(mesh: Mesh, tree: Any, axis: int = 0, spatial: bool = False) -> Any:
     """Place arrays sharded over the data axis at dimension `axis` (0 for a
-    plain [B, ...] batch; 1 for chunked [K, B, ...] multi-step stacks)."""
+    plain [B, ...] batch; 1 for chunked [K, B, ...] multi-step stacks).
+
+    spatial=True additionally shards the image HEIGHT dimension (axis+1 of
+    [..., B, H, W, C] canvases, identified as the leaves with >= 3 dims past
+    the batch) over the 'model' mesh axis — spatial partitioning: each chip
+    owns a horizontal band of every image and GSPMD inserts the halo
+    exchanges the convolutions need. This is the parallelism that still
+    helps at per-chip batch 1, where the step is bandwidth-bound in the
+    early conv layers (BENCH_NOTES device trace)."""
     if mesh.devices.size == 1:
         return tree
+    sp = spatial and "model" in mesh.axis_names and mesh.shape["model"] > 1
 
     def put(x):
         if x.ndim > axis:
-            spec = P(*([None] * axis), "data", *([None] * (x.ndim - axis - 1)))
+            rest = [None] * (x.ndim - axis - 1)
+            if sp and x.ndim >= axis + 4:  # [..., B, H, W, C] canvas
+                rest[0] = "model"
+            spec = P(*([None] * axis), "data", *rest)
         else:
             spec = P()
         return jax.device_put(x, NamedSharding(mesh, spec))

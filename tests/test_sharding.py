@@ -107,6 +107,51 @@ def test_tp_model_axis_numerically_equals_single_device():
 
 
 @pytest.mark.skipif(jax.device_count() < 2, reason="needs >=2 devices")
+def test_spatial_shard_numerically_equals_single_device():
+    """TPU.SPATIAL_SHARD on a (1 data x 2 model) mesh: each device owns a
+    horizontal band of every image (GSPMD halo-exchanges the convs). The
+    step must equal the unsharded one — spatial partitioning is the
+    parallelism that still applies at per-chip batch 1."""
+    import __graft_entry__ as g
+    from simple_sfod_tpu.data.synthetic import register_synthetic
+    from simple_sfod_tpu.engine.trainers import build_trainer
+
+    results = {}
+    for sp in (True, False):
+        cfg = g._tiny_cfg(1, canvas=(32, 64), backbone="tiny")
+        cfg.TRAINER = "base"
+        cfg.SOLVER.IMS_PER_BATCH = 2
+        cfg.SOLVER.IMS_PER_BATCH_TARGET = 2
+        cfg.TPU.MESH_DATA = 1
+        cfg.TPU.MESH_MODEL = 2 if sp else 1
+        cfg.TPU.SPATIAL_SHARD = sp
+        cfg.OUTPUT_DIR = f"/tmp/sfod_sp_test_{int(sp)}"
+        register_synthetic("synthetic_train", 8, (32, 64), 8, seed=0)
+        cfg.DATASETS.TRAIN = ("synthetic_train",)
+        cfg.freeze()
+        tr = build_trainer(cfg, synthetic=True)
+        batch = next(iter(tr.build_train_loader()))
+        if sp:
+            from simple_sfod_tpu.parallel.mesh import shard_batch
+
+            placed = shard_batch(
+                tr.mesh,
+                (jax.numpy.asarray(batch["images"]),),
+                spatial=True,
+            )[0]
+            assert "model" in str(placed.sharding.spec), placed.sharding
+        m = tr.run_step(batch)
+        results[sp] = (float(m["total_loss"]), jax.device_get(tr.state.params))
+    loss_sp, p_sp = results[True]
+    loss_1, p_1 = results[False]
+    assert abs(loss_sp - loss_1) / max(1.0, abs(loss_1)) < 1e-4, (loss_sp, loss_1)
+    worst = max(
+        jax.tree.leaves(jax.tree.map(lambda a, b: float(np.abs(a - b).max()), p_sp, p_1))
+    )
+    assert worst < 1e-5, worst
+
+
+@pytest.mark.skipif(jax.device_count() < 2, reason="needs >=2 devices")
 def test_fpn_supervised_step_on_two_device_mesh():
     """Multi-level FPN under GSPMD: the level-dict features, per-level RPN
     concat and level-assigned ROI pooling must partition over a data mesh
