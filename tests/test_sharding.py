@@ -106,6 +106,45 @@ def test_tp_model_axis_numerically_equals_single_device():
     assert worst < 1e-5, worst
 
 
+@pytest.mark.skipif(jax.device_count() < 4, reason="needs >=4 devices")
+def test_tp_checkpoint_roundtrip(tmp_path):
+    """Checkpoint save/resume under a tensor-sharded state: orbax writes the
+    (single-host) sharded arrays, and resume_or_load re-places them on the
+    2x2 mesh with the fc kernels model-sharded again."""
+    import __graft_entry__ as g
+    from simple_sfod_tpu.engine.trainers import build_trainer
+
+    from simple_sfod_tpu.data.synthetic import register_synthetic
+
+    def tp_trainer(out):
+        cfg = g._tiny_cfg(2, canvas=(32, 64), backbone="tiny")
+        cfg.TRAINER = "base"
+        cfg.TPU.MESH_DATA = 2
+        cfg.TPU.MESH_MODEL = 2
+        cfg.OUTPUT_DIR = out
+        register_synthetic("synthetic_train", 8, (32, 64), 8, seed=0)
+        cfg.DATASETS.TRAIN = ("synthetic_train",)
+        cfg.freeze()
+        return build_trainer(cfg, synthetic=True)
+
+    out = str(tmp_path / "tp_ckpt")
+    tr = tp_trainer(out)
+    tr.run_step(next(iter(tr.build_train_loader())))
+    tr.checkpointer.save("model_tp", tr.state)
+    want = jax.device_get(tr.state.params)
+
+    tr2 = tp_trainer(out)
+    tr2.resume_or_load(resume=True)
+    got = jax.device_get(tr2.state.params)
+    worst = max(
+        jax.tree.leaves(jax.tree.map(lambda a, b: float(np.abs(a - b).max()), got, want))
+    )
+    assert worst == 0.0, worst
+    assert int(tr2.state.step) == 1
+    k0 = _fc_leaf(tr2.state.params, "fc0", "kernel")
+    assert "model" in str(k0.sharding.spec), k0.sharding
+
+
 @pytest.mark.skipif(jax.device_count() < 2, reason="needs >=2 devices")
 def test_spatial_shard_numerically_equals_single_device():
     """TPU.SPATIAL_SHARD on a (1 data x 2 model) mesh: each device owns a
