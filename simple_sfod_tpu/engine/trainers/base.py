@@ -72,6 +72,12 @@ class BaseTrainer:
         self.det_cfg = detector_config_from_cfg(cfg)
         self.detector = Detector(self.det_cfg)
         mesh_m = max(cfg.TPU.MESH_MODEL, 1)
+        if cfg.TPU.SPATIAL_SHARD and mesh_m <= 1:
+            # set-but-inert keys fail loudly (the config honesty rule)
+            raise ValueError(
+                "TPU.SPATIAL_SHARD=True requires TPU.MESH_MODEL > 1 "
+                "(the image height bands live on the 'model' mesh axis)"
+            )
         if cfg.TPU.MESH_DATA > 0:
             mesh_n = cfg.TPU.MESH_DATA
         else:

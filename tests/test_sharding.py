@@ -52,6 +52,18 @@ def test_sfat_step_on_two_device_mesh():
     assert int(tr.state.step) == 2
 
 
+def test_spatial_shard_without_model_axis_raises():
+    """Set-but-inert config keys fail loudly (the honesty rule)."""
+    import __graft_entry__ as g
+    from simple_sfod_tpu.engine.trainers import build_trainer
+
+    cfg = g._tiny_cfg(1, canvas=(32, 64), backbone="tiny")
+    cfg.TPU.SPATIAL_SHARD = True
+    cfg.freeze()
+    with pytest.raises(ValueError, match="SPATIAL_SHARD.*MESH_MODEL"):
+        build_trainer(cfg, synthetic=True)
+
+
 def _fc_leaf(params, fc, leaf):
     """The box-head fc leaf by path suffix, wherever the tree nests it."""
     for path, x in jax.tree_util.tree_flatten_with_path(params)[0]:
