@@ -90,6 +90,61 @@ def test_predict_matches_direct_inference(artifact):
     np.testing.assert_allclose(got, want[order], rtol=1e-5, atol=1e-4)
 
 
+def test_microbatch_coalesces_concurrent_requests(artifact):
+    """Concurrent predicts share ONE device call on a batch>1 artifact, and
+    each requester still gets its own image's detections."""
+    import threading
+
+    import jax
+
+    import __graft_entry__ as g
+    from simple_sfod_tpu.config.defaults import detector_config_from_cfg
+    from simple_sfod_tpu.engine.export import export_inference, save_exported
+    from simple_sfod_tpu.engine.serve import DetectionService
+    from simple_sfod_tpu.models.detector import Detector
+
+    path, det, variables = artifact
+    import os
+    import tempfile
+
+    b4_path = os.path.join(tempfile.mkdtemp(), "tiny_b4.sfodx")
+    save_exported(
+        export_inference(det, variables, (32, 64), batch=4),
+        b4_path,
+        meta={"canvas": [32, 64], "batch": 4, "min_size": 32, "max_size": 64,
+              "image_format": "BGR", "bundle_params": True, "config": "tiny-b4"},
+    )
+    # generous window so all 4 threads land inside one coalescing pass even
+    # on a loaded 1-core box
+    svc = DetectionService(b4_path, max_wait_ms=300.0)
+    svc._run_batch([svc._prepare(np.zeros((32, 64, 3), np.uint8))])  # warm compile
+    calls_before = svc._batcher.calls
+
+    rs = np.random.RandomState(3)
+    imgs = [rs.uniform(0, 255, (32, 64, 3)).astype(np.uint8) for _ in range(4)]
+    results = [None] * 4
+
+    def worker(i):
+        results[i] = svc.predict_array(imgs[i])
+
+    threads = [threading.Thread(target=worker, args=(i,)) for i in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert svc._batcher.calls - calls_before == 1  # coalesced, not 4 calls
+
+    # per-request correctness: each answer equals that image's direct infer
+    infer = jax.jit(lambda v, i, s: det.infer(v, i, s))
+    for img, res in zip(imgs, results):
+        dets = infer(variables, img[None], np.asarray([[32, 64]], np.int32))
+        valid = np.asarray(dets.valid[0])
+        want = np.clip(np.asarray(dets.boxes[0])[valid], 0, [64, 32, 64, 32])
+        order = np.argsort(-np.asarray(dets.scores[0])[valid], kind="stable")
+        got = np.asarray([d["box"] for d in res["detections"]]).reshape(-1, 4)
+        np.testing.assert_allclose(got, want[order], rtol=1e-5, atol=1e-4)
+
+
 def test_http_round_trip(artifact):
     from simple_sfod_tpu.engine.serve import DetectionService, serve_in_thread
 

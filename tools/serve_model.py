@@ -24,6 +24,9 @@ def main():
     p.add_argument("--artifact", required=True)
     p.add_argument("--host", default="127.0.0.1")
     p.add_argument("--port", type=int, default=8360)
+    p.add_argument("--max-wait-ms", type=float, default=5.0,
+                   help="micro-batch coalescing window: concurrent requests "
+                   "arriving within it share one device call (engine/serve.py)")
     args = p.parse_args()
 
     from simple_sfod_tpu.utils.env import setup_cache
@@ -31,7 +34,7 @@ def main():
     setup_cache()
     from simple_sfod_tpu.engine.serve import DetectionService, make_server
 
-    service = DetectionService(args.artifact)
+    service = DetectionService(args.artifact, max_wait_ms=args.max_wait_ms)
     srv = make_server(service, args.host, args.port)
     info = service.info()
     print(
