@@ -213,7 +213,7 @@ def strong_augment(rng, img):
     """The reference's full strong pipeline (detection_utils.py:7-37 +
     transforms/augmentations.py:6-21): ColorJitter p=0.8, Grayscale p=0.2,
     GaussianBlur(sigma~U[0.1,2]) p=0.5, RandomErasing p=(0.7, 0.5, 0.3)."""
-    keys = jax.random.split(rng, 11)
+    keys = jax.random.split(rng, 12)
     do_jit = jax.random.bernoulli(keys[0], 0.8)
     jittered = color_jitter(keys[1], img)
     img = jnp.where(do_jit, jittered, img)
@@ -225,8 +225,10 @@ def strong_augment(rng, img):
     sigma = jax.random.uniform(keys[4], (), minval=0.1, maxval=2.0)
     img = jnp.where(do_blur, gaussian_blur(img, sigma), img)
 
-    # one iid noise canvas shared by the three erasings (see random_erasing)
-    noise = jax.random.normal(keys[8], img.shape) * 255.0
+    # one iid noise canvas shared by the three erasings (see random_erasing);
+    # keys[11] is used ONLY here — the rectangle-geometry keys 8..10 stay
+    # independent of the fill values (no key reuse)
+    noise = jax.random.normal(keys[11], img.shape) * 255.0
     for i, p in enumerate((0.7, 0.5, 0.3)):
         do = jax.random.bernoulli(keys[5 + i], p)
         erased = random_erasing(keys[8 + i], img, noise=noise)

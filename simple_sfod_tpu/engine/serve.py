@@ -49,6 +49,8 @@ class _MicroBatcher:
         self._queue: List[dict] = []
         self._cv = threading.Condition()
         self.calls = 0  # device calls issued (observable for tests/metrics)
+        self._gate = threading.Event()  # tests clear() to hold draining
+        self._gate.set()
         self._worker = threading.Thread(target=self._loop, daemon=True)
         self._worker.start()
 
@@ -67,8 +69,14 @@ class _MicroBatcher:
             with self._cv:
                 while not self._queue:
                     self._cv.wait()
-            if self.max_wait_s > 0:
-                time.sleep(self.max_wait_s)  # the coalescing window
+                if self.max_wait_s > 0:
+                    # coalescing window: wake EARLY once a full batch is
+                    # queued — only partial batches pay the wait
+                    self._cv.wait_for(
+                        lambda: len(self._queue) >= self.max_batch,
+                        timeout=self.max_wait_s,
+                    )
+            self._gate.wait()
             with self._cv:
                 batch, self._queue = (
                     self._queue[: self.max_batch],
@@ -101,7 +109,10 @@ class DetectionService:
                 "requires the weights pytree (variables=...)"
             )
         self.variables = variables
-        img_aval = self.exported.in_avals[0 if variables is None else 1]
+        # in_avals is the FLAT leaf tuple: with call-time weights the images
+        # aval sits after ALL variables leaves — i.e. always second-to-last
+        # (images, sizes are the final two args in both layouts)
+        img_aval = self.exported.in_avals[-2]
         self.canvas = tuple(self.meta.get("canvas") or img_aval.shape[1:3])
         b = self.meta.get("batch", 1)
         # fixed-batch artifacts pay the full batch per call regardless —

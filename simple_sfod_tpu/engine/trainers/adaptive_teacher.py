@@ -24,7 +24,6 @@ from ...models.dann import gradient_scalar
 from ...models.detector import DetectionBatch
 from ...models.faster_rcnn import dc_image_feature
 from ...ops.losses import sigmoid_ce
-from ...parallel.mesh import shard_batch
 from ...structures.instances import Instances
 from ...solver.build import apply_gradients
 from ..train_state import TeacherStudentState, ema_update
@@ -56,7 +55,7 @@ class AdaptiveTeacherTrainer(SourceFreeAdaptiveTeacherTrainer):
             per.append(
                 (b["images"], b["sizes"], gt_instances(b, host=True), t["images"], t["sizes"])
             )
-        xs = shard_batch(self.mesh, self._stack_steps(per), axis=1, spatial=self.cfg.TPU.SPATIAL_SHARD)
+        xs = self._shard(self._stack_steps(per), axis=1)
         return self._dispatch_chunk(xs)
 
     def build_train_loader(self):
@@ -245,7 +244,7 @@ class AdaptiveTeacherTrainer(SourceFreeAdaptiveTeacherTrainer):
             jnp.asarray(tgt["images"]),
             jnp.asarray(tgt["sizes"]),
         )
-        return shard_batch(self.mesh, args, spatial=self.cfg.TPU.SPATIAL_SHARD)
+        return self._shard(args)
 
     def run_step(self, batch) -> Dict[str, float]:
         args = self._step_args(batch)

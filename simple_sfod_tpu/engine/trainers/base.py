@@ -196,13 +196,19 @@ class BaseTrainer:
     def build_train_loader(self):
         return build_train_loader(self.cfg, synthetic=self.synthetic)
 
+    def _shard(self, tree, axis: int = 0):
+        """shard_batch with the trainer's mesh + spatial policy bound once —
+        the ONLY batch-placement entry point trainers should use, so a new
+        call site can't silently drop TPU.SPATIAL_SHARD."""
+        return shard_batch(
+            self.mesh, tree, axis=axis, spatial=self.cfg.TPU.SPATIAL_SHARD
+        )
+
     def run_step(self, batch) -> Dict[str, float]:
         images = jnp.asarray(batch["images"])
         sizes = jnp.asarray(batch["sizes"])
         gt = gt_instances(batch)
-        images, sizes, gt = shard_batch(
-            self.mesh, (images, sizes, gt), spatial=self.cfg.TPU.SPATIAL_SHARD
-        )
+        images, sizes, gt = self._shard((images, sizes, gt))
         self.state, metrics = self._train_step(self.state, images, sizes, gt, self.base_rng)
         return metrics
 
@@ -245,7 +251,7 @@ class BaseTrainer:
         xs = self._stack_steps(
             [(b["images"], b["sizes"], gt_instances(b, host=True)) for b in batches]
         )
-        xs = shard_batch(self.mesh, xs, axis=1, spatial=self.cfg.TPU.SPATIAL_SHARD)
+        xs = self._shard(xs, axis=1)
         return self._dispatch_chunk(xs)
 
     def _build_val_loss_hook(self):

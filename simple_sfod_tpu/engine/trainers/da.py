@@ -24,7 +24,6 @@ from ...models.dann import DAImgHead, DAInsHead, gradient_scalar
 from ...models.detector import DetectionBatch
 from ...models.faster_rcnn import anchors_for, dc_image_feature, propose, pool_rois
 from ...ops.losses import sigmoid_ce
-from ...parallel.mesh import shard_batch
 from ...structures.instances import Instances
 from ...solver.build import apply_gradients
 from ..train_state import TrainState
@@ -47,7 +46,7 @@ class _DATrainerBase(BaseTrainer):
             per.append(
                 (b["images"], b["sizes"], gt_instances(b, host=True), t["images"], t["sizes"])
             )
-        xs = shard_batch(self.mesh, self._stack_steps(per), axis=1, spatial=self.cfg.TPU.SPATIAL_SHARD)
+        xs = self._shard(self._stack_steps(per), axis=1)
         return self._dispatch_chunk(xs)
 
     def __init__(self, cfg, synthetic: bool = False):
@@ -220,7 +219,7 @@ class _DATrainerBase(BaseTrainer):
             jnp.asarray(tgt["images"]),
             jnp.asarray(tgt["sizes"]),
         )
-        args = shard_batch(self.mesh, args, spatial=self.cfg.TPU.SPATIAL_SHARD)
+        args = self._shard(args)
         self.state, metrics = self._train_step(self.state, *args, self.base_rng)
         return metrics
 

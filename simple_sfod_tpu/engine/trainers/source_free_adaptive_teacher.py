@@ -33,7 +33,6 @@ from ...models.dann import DAInsHead, FCDiscriminatorImg, gradient_scalar
 from ...models.detector import DetectionBatch
 from ...models.faster_rcnn import dc_image_feature
 from ...ops.losses import sigmoid_ce
-from ...parallel.mesh import shard_batch
 from ...structures.instances import Instances
 from ...solver.build import apply_gradients
 from ..train_state import AdaptiveThresholdState, TeacherStudentState, ema_update
@@ -457,7 +456,7 @@ class SourceFreeAdaptiveTeacherTrainer(BaseTrainer):
     def run_step(self, batch) -> Dict[str, float]:
         images = jnp.asarray(batch["images"])
         sizes = jnp.asarray(batch["sizes"])
-        images, sizes = shard_batch(self.mesh, (images, sizes), spatial=self.cfg.TPU.SPATIAL_SHARD)
+        images, sizes = self._shard((images, sizes))
         self.state, metrics = self._train_step(self.state, images, sizes, self.base_rng)
         self._maybe_visualize(batch)
         return metrics
@@ -488,7 +487,7 @@ class SourceFreeAdaptiveTeacherTrainer(BaseTrainer):
             self._multi_step_n = n
         images = jnp.asarray(batch["images"])
         sizes = jnp.asarray(batch["sizes"])
-        images, sizes = shard_batch(self.mesh, (images, sizes), spatial=self.cfg.TPU.SPATIAL_SHARD)
+        images, sizes = self._shard((images, sizes))
         self.state, metrics = self._multi_step(self.state, images, sizes, self.base_rng)
         return metrics
 
@@ -498,7 +497,7 @@ class SourceFreeAdaptiveTeacherTrainer(BaseTrainer):
         (TPU.STEPS_PER_DISPATCH). Pseudo-label visualization fires on the
         chunk's last batch (periodicity approximated to chunk boundaries)."""
         xs = self._stack_steps([(b["images"], b["sizes"]) for b in batches])
-        xs = shard_batch(self.mesh, xs, axis=1, spatial=self.cfg.TPU.SPATIAL_SHARD)
+        xs = self._shard(xs, axis=1)
         metrics = self._dispatch_chunk(xs)
         self._maybe_visualize(batches[-1])
         return metrics

@@ -86,7 +86,9 @@ def _radio(name: str, options, chosen: str) -> str:
 
 def form_page(state: Dict[str, str], message: str = "") -> str:
     s = {k: state.get(k, "") for k in FIELDS}
-    metrics = state.get("metrics", ["coco", "voc", "f1"])
+    # reference GUI defaults every metric checked (main_ui.py); an empty
+    # round-tripped selection re-checks all, matching run_page's fallback
+    metrics = state.get("metrics") or ["coco", "voc", "f1"]
     checks = " ".join(
         f"<label><input type='checkbox' name='metrics' value='{m}'"
         f"{' checked' if m in metrics else ''}> {m}</label>"
@@ -124,33 +126,69 @@ def _state_query(state: Dict) -> str:
     return urllib.parse.urlencode(pairs)
 
 
+def _mtime(path: str) -> float:
+    try:
+        return os.path.getmtime(path)
+    except OSError:
+        return -1.0
+
+
+# small parse caches so prev/next in the image browser doesn't re-read the
+# whole GT/detection datasets per click (keyed on paths + mtimes; a handful
+# of entries is plenty for one interactive session)
+_INPUTS_CACHE: Dict[tuple, tuple] = {}
+_STEM_CACHE: Dict[tuple, Dict[str, object]] = {}
+
+
 def _load_state_inputs(state: Dict, need_det: bool):
+    names_path = state.get("names", "")
+    gt, det = state.get("gt", ""), state.get("det") if need_det else None
+    key = (
+        gt, state.get("gt_format", "coco"), det, state.get("det_format", "coco"),
+        names_path, state.get("img_dir", ""),
+        _mtime(gt), _mtime(det or ""), _mtime(names_path),
+    )
+    hit = _INPUTS_CACHE.get(key)
+    if hit is not None:
+        return hit
     names = None
-    if state.get("names"):
-        with open(state["names"]) as f:
+    if names_path:
+        with open(names_path) as f:
             names = [line.strip() for line in f if line.strip()]
-    return load_inputs(
-        state.get("gt", ""),
+    out = load_inputs(
+        gt,
         state.get("gt_format", "coco"),
-        state.get("det") if need_det else None,
+        det,
         state.get("det_format", "coco"),
         names=names,
         images_dir=state.get("img_dir") or None,
     )
+    if len(_INPUTS_CACHE) >= 4:
+        _INPUTS_CACHE.pop(next(iter(_INPUTS_CACHE)))
+    _INPUTS_CACHE[key] = out
+    return out
 
 
 def _coco_stem_map(gt_path: str) -> Dict[str, object]:
     """stem(file_name) -> coco image id, for the image browser under coco GT."""
+    key = (gt_path, _mtime(gt_path))
+    hit = _STEM_CACHE.get(key)
+    if hit is not None:
+        return hit
     try:
         with open(gt_path) as f:
             data = json.load(f)
-        return {
+        out = {
             os.path.splitext(os.path.basename(img.get("file_name", "")))[0]: img["id"]
             for img in data.get("images", [])
             if img.get("file_name")
         }
     except (OSError, ValueError):
-        return {}
+        out = {}
+    if len(_STEM_CACHE) >= 4:
+        _STEM_CACHE.pop(next(iter(_STEM_CACHE)))
+    _STEM_CACHE[key] = out
+    return out
 
 
 def _list_images(img_dir: str) -> List[str]:
@@ -292,9 +330,10 @@ def run_page(state: Dict) -> str:
     gts, dets, class_names = _load_state_inputs(state, need_det=True)
     if dets is None:
         raise ValueError("no detections path given")
-    wanted = set(metrics) | {"voc"}  # the report draws VOC PR curves
+    # only the selected families run; PR curves render iff voc is among them
     results, curves = run_metrics(
-        gts, dets, class_names, metrics=wanted, iou=iou, voc_method=voc_method, want_curves=True
+        gts, dets, class_names, metrics=set(metrics), iou=iou,
+        voc_method=voc_method, want_curves=True,
     )
     doc = render_report(
         results,
@@ -350,7 +389,8 @@ class MetricsGuiHandler(BaseHTTPRequestHandler):
             for k, v in urllib.parse.parse_qs(body).items():
                 qs.setdefault(k, []).extend(v)
         state = {k: v[0] for k, v in qs.items() if k != "metrics"}
-        state["metrics"] = qs.get("metrics", [])
+        if "metrics" in qs:  # absent on a fresh load -> form defaults apply
+            state["metrics"] = qs["metrics"]
         return state
 
     def _route(self):

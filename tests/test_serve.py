@@ -114,9 +114,7 @@ def test_microbatch_coalesces_concurrent_requests(artifact):
         meta={"canvas": [32, 64], "batch": 4, "min_size": 32, "max_size": 64,
               "image_format": "BGR", "bundle_params": True, "config": "tiny-b4"},
     )
-    # generous window so all 4 threads land inside one coalescing pass even
-    # on a loaded 1-core box
-    svc = DetectionService(b4_path, max_wait_ms=300.0)
+    svc = DetectionService(b4_path)
     svc._run_batch([svc._prepare(np.zeros((32, 64, 3), np.uint8))])  # warm compile
     calls_before = svc._batcher.calls
 
@@ -127,9 +125,19 @@ def test_microbatch_coalesces_concurrent_requests(artifact):
     def worker(i):
         results[i] = svc.predict_array(imgs[i])
 
+    # deterministic on a loaded 1-core box: hold the drain gate until all 4
+    # requests are enqueued, so coalescing never races thread scheduling
+    svc._batcher._gate.clear()
     threads = [threading.Thread(target=worker, args=(i,)) for i in range(4)]
     for t in threads:
         t.start()
+    import time
+
+    deadline = time.monotonic() + 30
+    while len(svc._batcher._queue) < 4:
+        assert time.monotonic() < deadline, "requests never enqueued"
+        time.sleep(0.005)
+    svc._batcher._gate.set()
     for t in threads:
         t.join()
     assert svc._batcher.calls - calls_before == 1  # coalesced, not 4 calls

@@ -74,7 +74,12 @@ def main():
     cfg.merge_from_file(args.config_file, allow_new=True)
     if args.opts:
         cfg.merge_from_list(args.opts)
-    cfg.TPU.MESH_DATA = 1  # export is single-program; sharding happens on load
+    # export is single-program; sharding happens on load. Reset EVERY mesh
+    # axis — a TP/SP training config would otherwise build a ('data','model')
+    # mesh here and lower device-sharded constants into the artifact.
+    cfg.TPU.MESH_DATA = 1
+    cfg.TPU.MESH_MODEL = 1
+    cfg.TPU.SPATIAL_SHARD = False
     cfg.freeze()
 
     # the trainer gives us the exact init + checkpoint-overlay path the
