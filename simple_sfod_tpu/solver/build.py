@@ -45,7 +45,15 @@ def warmup_multistep_schedule(
     def schedule(count):
         idx = jnp.sum(count >= boundaries)
         factor = factors_arr[idx]
-        if warmup_method == "constant":
+        if warmup_iters <= 0:
+            # WARMUP_ITERS=0: no warmup at all. The ramp formula below would
+            # still emit warmup_factor at step 0, but d2's
+            # WarmupParamScheduler applies no warmup at zero length (caught
+            # by the SFAT lockstep differential, tests/test_lockstep_sfat.py).
+            # Python-level branch so warmup>0 graphs are unchanged (compile
+            # cache stays valid).
+            warm = 1.0
+        elif warmup_method == "constant":
             warm = jnp.where(count < warmup_iters, warmup_factor, 1.0)
         else:
             alpha = jnp.clip(count / max(warmup_iters, 1), 0.0, 1.0)

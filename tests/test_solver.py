@@ -77,6 +77,17 @@ class TestWarmupMethod:
         with pytest.raises(ValueError, match="WARMUP_METHOD"):
             warmup_multistep_schedule(1.0, [100], warmup_method="cosine")
 
+    def test_zero_warmup_iters_means_no_warmup(self):
+        """WARMUP_ITERS=0: d2's WarmupParamScheduler applies no warmup at
+        zero length; the linear ramp must not leak warmup_factor into step 0
+        (regression caught by the SFAT lockstep differential)."""
+        for method in ("linear", "constant"):
+            sched = warmup_multistep_schedule(
+                1.0, [100], warmup_iters=0, warmup_factor=1e-3, warmup_method=method
+            )
+            assert float(sched(0)) == pytest.approx(1.0)
+            assert float(sched(1)) == pytest.approx(1.0)
+
 
 class TestBackboneFreeze:
     """MODEL.BACKBONE.FREEZE_AT (d2 semantics: stem=stage1, res{s}=stage s;

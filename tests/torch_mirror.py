@@ -361,33 +361,53 @@ class TorchLockstepTrainer:
         return loss_cls, loss_loc
 
     def _propose(self, obj, deltas, hw, training=True):
+        """find_top_rpn_proposals: per-image pre-NMS top-k by objectness,
+        NMS, post-NMS top-k (matches models/faster_rcnn.py propose())."""
         cfg = self.cfg
+        pre_k = cfg.rpn_pre_nms_topk_train if training else cfg.rpn_pre_nms_topk_test
+        pre_k = min(pre_k, self.anchors.shape[0])
         post_k = cfg.rpn_post_nms_topk_train if training else cfg.rpn_post_nms_topk_test
         out = []
         for i in range(obj.shape[0]):
-            boxes = decode_deltas(deltas[i], self.anchors, self.rpn_w)
+            vals, top = obj[i].topk(pre_k)
+            boxes = decode_deltas(deltas[i][top], self.anchors[top], self.rpn_w)
             boxes = clip_boxes(boxes, hw)
-            scores = obj[i]
             valid = ((boxes[:, 2] > boxes[:, 0]) & (boxes[:, 3] > boxes[:, 1])
-                     & torch.isfinite(scores))
+                     & torch.isfinite(vals))
             idx = valid.nonzero(as_tuple=True)[0]
-            keep = tv_nms(boxes[idx], scores[idx], cfg.rpn_nms_thresh, max_keep=post_k)
+            keep = tv_nms(boxes[idx], vals[idx], cfg.rpn_nms_thresh, max_keep=post_k)
             keep = idx[keep]
             out.append(boxes[keep].detach())
         return out
 
-    def step(self, images_nchw: np.ndarray, gt_boxes: List[np.ndarray],
-             gt_classes: List[np.ndarray], hw: Tuple[int, int]):
+    def normalize(self, images_nchw: np.ndarray) -> torch.Tensor:
         cfg = self.cfg
-        m = self.model
-        m.train()
         x = torch.from_numpy(images_nchw.astype(np.float32))
         mean = torch.tensor(cfg.pixel_mean).view(1, 3, 1, 1)
         std = torch.tensor(cfg.pixel_std).view(1, 3, 1, 1)
-        feat = m.features((x - mean) / std)
-        obj, deltas = m.rpn(feat)
+        return (x - mean) / std
+
+    def step(self, images_nchw: np.ndarray, gt_boxes: List[np.ndarray],
+             gt_classes: List[np.ndarray], hw: Tuple[int, int]):
+        m = self.model
+        m.train()
+        feat = m.features(self.normalize(images_nchw))
         gtb = [torch.from_numpy(np.asarray(g, np.float32)) for g in gt_boxes]
         gtc = [torch.from_numpy(np.asarray(c, np.int64)) for c in gt_classes]
+        total, parts = self.sup_losses_from_feature(feat, gtb, gtc, hw)
+        self.opt.zero_grad()
+        total.backward()
+        self.opt.step()
+        parts["total_loss"] = float(total.detach())
+        return parts
+
+    def sup_losses_from_feature(self, feat: torch.Tensor, gtb: List[torch.Tensor],
+                                gtc: List[torch.Tensor], hw: Tuple[int, int]):
+        """Supervised RPN+ROI losses on a precomputed feature (mirrors
+        Detector.losses_from_feature under the take-all contract)."""
+        cfg = self.cfg
+        m = self.model
+        obj, deltas = m.rpn(feat)
         loss_rpn_cls, loss_rpn_loc = self._rpn_losses(obj, deltas, gtb)
         proposals = self._propose(obj, deltas, hw)
 
@@ -403,8 +423,14 @@ class TorchLockstepTrainer:
                 f"take-all contract violated: {pool.shape[0]} candidates"
             )
             is_fg = labels == 1
-            cls = torch.where(is_fg, gtc[i][matched_idx], torch.tensor(cfg.num_classes))
-            rt = encode_deltas(pool, gtb[i][matched_idx], self.roi_w)
+            if gtb[i].numel():
+                cls = torch.where(is_fg, gtc[i][matched_idx], torch.tensor(cfg.num_classes))
+                rt = encode_deltas(pool, gtb[i][matched_idx], self.roi_w)
+            else:
+                # no (pseudo) GT: everything background; regression targets
+                # are masked out by is_fg (all False) on both frameworks
+                cls = torch.full((pool.shape[0],), cfg.num_classes, dtype=torch.long)
+                rt = encode_deltas(pool, torch.zeros_like(pool), self.roi_w)
             batch_col = torch.full((pool.shape[0], 1), float(i))
             rois.append(torch.cat([batch_col, pool], dim=1))
             cls_t.append(cls)
@@ -431,13 +457,128 @@ class TorchLockstepTrainer:
         loss_reg = (l1 * fg_mask.float()).sum() / denom
 
         total = loss_rpn_cls + loss_rpn_loc + loss_cls + loss_reg
-        self.opt.zero_grad()
-        total.backward()
-        self.opt.step()
-        return {
+        return total, {
             "loss_rpn_cls": float(loss_rpn_cls.detach()),
             "loss_rpn_loc": float(loss_rpn_loc.detach()),
             "loss_cls": float(loss_cls.detach()),
             "loss_box_reg": float(loss_reg.detach()),
-            "total_loss": float(total.detach()),
         }
+
+
+# ---------------------------------------------------------------------------
+# SFAT `_single` adaptation step (teacher inference -> pseudo labels ->
+# student update -> EMA), d2/reference semantics
+# ---------------------------------------------------------------------------
+
+
+class TorchSFATSingleMirror(TorchLockstepTrainer):
+    """Pure-torch mirror of the `_single` source-free adaptation step under
+    the lockstep contract (SEMISUPNET.SPLIT_VIEW_BN=True, flip / strong aug /
+    DC / adaptive-threshold off — so the weak and strong views are the same
+    pixels and what remains is the adaptation semantics itself):
+
+      1. weak pass: train-mode BN forward (running-stat nudge #1); the
+         reference's always-train-mode student, sfat _single :390;
+      2. test-time inference on those features (find_top_rpn_proposals +
+         fast_rcnn_inference: score thresh, per-class NMS, top-k) and the
+         BBOX_THRESHOLD >= cut -> pseudo GT (threshold_bbox, sfat.py:150);
+      3. strong pass: second train-mode forward (nudge #2), supervised
+         RPN+ROI losses vs the pseudo GT x UNSUP_LOSS_WEIGHT;
+      4. SGD step, then the EMA teacher tree update (sfat.py:583-603).
+    """
+
+    def __init__(self, model: TorchTinyFasterRCNN, cfg, anchors: np.ndarray,
+                 lr: float, momentum: float, weight_decay: float,
+                 bbox_threshold: float = 0.8, unsup_weight: float = 1.0,
+                 ema_keep_rate: float = 0.99):
+        super().__init__(model, cfg, anchors, lr, momentum, weight_decay)
+        self.bbox_threshold = bbox_threshold
+        self.unsup_weight = unsup_weight
+        self.keep_rate = ema_keep_rate
+        self.teacher = {k: v.copy() for k, v in model.export_flax_like().items()}
+
+    @torch.no_grad()
+    def detect(self, feat: torch.Tensor, hw: Tuple[int, int]):
+        """Detector.infer_from_feature: RPN propose (test top-k) -> ROIAlign
+        -> box head -> fast_rcnn_inference (softmax minus background column,
+        per-class decode+clip, score > SCORE_THRESH_TEST, per-class NMS,
+        DETECTIONS_PER_IMAGE top-k). Returns per-image (boxes, scores,
+        classes), score-descending."""
+        cfg = self.cfg
+        m = self.model
+        obj, deltas = m.rpn(feat)
+        proposals = self._propose(obj, deltas, hw, training=False)
+        empty = (torch.zeros(0, 4), torch.zeros(0), torch.zeros(0, dtype=torch.long))
+        out = []
+        for i, props in enumerate(proposals):
+            if props.shape[0] == 0:
+                out.append(empty)
+                continue
+            batch_col = torch.full((props.shape[0], 1), float(i))
+            pooled = tv_roi_align(
+                feat, torch.cat([batch_col, props], dim=1), (m.pooler, m.pooler),
+                spatial_scale=0.25, sampling_ratio=cfg.pooler_sampling_ratio,
+                aligned=True,
+            )
+            scores, box_deltas = m.box(pooled)
+            probs = F.softmax(scores, dim=-1)[:, :-1]  # [R, C]
+            c = probs.shape[1]
+            boxes_k = decode_deltas(box_deltas, props, self.roi_w)  # [R, 4C]
+            boxes_k = clip_boxes(boxes_k.reshape(-1, c, 4), hw)
+            flat_boxes = boxes_k.reshape(-1, 4)
+            flat_scores = probs.reshape(-1)
+            flat_classes = torch.arange(c).repeat(props.shape[0])
+            valid = (
+                (flat_boxes[:, 2] > flat_boxes[:, 0])
+                & (flat_boxes[:, 3] > flat_boxes[:, 1])
+                & (flat_scores > cfg.score_thresh_test)
+            )
+            keep_all = []
+            for cl in range(c):
+                idx = ((flat_classes == cl) & valid).nonzero(as_tuple=True)[0]
+                if idx.numel() == 0:
+                    continue
+                keep = tv_nms(flat_boxes[idx], flat_scores[idx], cfg.nms_thresh_test)
+                keep_all.append(idx[keep])
+            if not keep_all:
+                out.append(empty)
+                continue
+            keep_all = torch.cat(keep_all)
+            order = torch.argsort(flat_scores[keep_all], descending=True)
+            keep_all = keep_all[order][: cfg.detections_per_image]
+            out.append((flat_boxes[keep_all], flat_scores[keep_all], flat_classes[keep_all]))
+        return out
+
+    def adapt_step(self, images_nchw: np.ndarray, hw: Tuple[int, int]):
+        m = self.model
+        m.train()
+        x = self.normalize(images_nchw)
+        with torch.no_grad():
+            feat_w = m.features(x)  # weak pass: BN running-stat nudge #1
+            dets = self.detect(feat_w, hw)
+        pseudo_boxes, pseudo_classes = [], []
+        n_pseudo = 0
+        for boxes, scores, classes in dets:
+            sel = scores >= self.bbox_threshold  # threshold_bbox: >= cut
+            pseudo_boxes.append(boxes[sel])
+            pseudo_classes.append(classes[sel])
+            n_pseudo += int(sel.sum())
+        feat_s = m.features(x)  # strong pass: nudge #2, gradients flow
+        total, parts = self.sup_losses_from_feature(
+            feat_s, pseudo_boxes, pseudo_classes, hw
+        )
+        total = total * self.unsup_weight
+        self.opt.zero_grad()
+        total.backward()
+        self.opt.step()
+        # EMA on the post-step tree (params + BN running stats), reference
+        # _update_teacher_model
+        ex = m.export_flax_like()
+        for k in self.teacher:
+            self.teacher[k] = self.keep_rate * self.teacher[k] + (1.0 - self.keep_rate) * ex[k]
+        parts["total_loss"] = float(total.detach())
+        parts["num_pseudo"] = n_pseudo
+        parts["pseudo_classes"] = np.sort(
+            np.concatenate([c.numpy() for c in pseudo_classes])
+        ) if n_pseudo else np.zeros((0,), np.int64)
+        return parts
