@@ -254,8 +254,22 @@ class SourceFreeAdaptiveTeacherTrainer(BaseTrainer):
             ALREADY-COMPUTED backbone features: strong/enhanced view labelled
             source(=0), weak view target(=1) (meta_arch :137-210). Reusing
             the loss pass's features removes two full backbone passes per
-            step (BENCH_NOTES round-2 leads)."""
-            if dc_enabled:
+            step (BENCH_NOTES round-2 leads).
+
+            Zero-weighted discriminators are SKIPPED, not computed: with
+            DOMAIN_CLASSIFIER.IMAGE (resp. INSTANCE) False the reference
+            multiplies the loss by 0 AND logs the zeroed value
+            (metrics_dict = loss_dict, reference sfat.py:540-575), so the
+            forward is dead compute with no observable output — the flagship
+            YAML (ENABLED: True, IMAGE/INSTANCE: False, INS_DC: True) pays
+            two extra backbone/ROI passes per step for losses its own logs
+            show as 0. Here the dead forwards are dropped at trace time and
+            the same zeros are logged; the DC parameters still exist and
+            still weight-decay exactly like the reference's."""
+            if dc_enabled and not dc_image:
+                metrics["loss_DC_img_s"] = jnp.zeros(())
+                metrics["loss_DC_img_t"] = jnp.zeros(())
+            elif dc_enabled:
                 df_s = dc_image_feature(det_cfg, feat_s)
                 df_t = dc_image_feature(det_cfg, feat_t)
                 out_s = dc_img.apply({"params": params["dc"]}, gradient_scalar(df_s, -1.0))
@@ -264,9 +278,11 @@ class SourceFreeAdaptiveTeacherTrainer(BaseTrainer):
                 loss_t = jnp.mean(sigmoid_ce(out_t, jnp.ones_like(out_t)))
                 metrics["loss_DC_img_s"] = loss_s
                 metrics["loss_DC_img_t"] = loss_t
-                if dc_image:
-                    total = total + dis_w * (loss_s + loss_t)
-            if ins_dc_enabled:
+                total = total + dis_w * (loss_s + loss_t)
+            if ins_dc_enabled and not dc_instance:
+                metrics["loss_DC_ins_s"] = jnp.zeros(())
+                metrics["loss_DC_ins_t"] = jnp.zeros(())
+            elif ins_dc_enabled:
                 # instance-level discriminator on box-head features behind
                 # gradient reversal (reference instance_dc_loss, meta_arch
                 # :341-349; weighted at sfat.py:557)
@@ -295,8 +311,7 @@ class SourceFreeAdaptiveTeacherTrainer(BaseTrainer):
                 ) / jnp.maximum(jnp.sum(vt), 1.0)
                 metrics["loss_DC_ins_s"] = loss_ins_s
                 metrics["loss_DC_ins_t"] = loss_ins_t
-                if dc_instance:
-                    total = total + dis_w * (loss_ins_s + loss_ins_t)
+                total = total + dis_w * (loss_ins_s + loss_ins_t)
             return metrics, total
 
         def step_fn(state: TeacherStudentState, images, sizes, rng):
@@ -407,13 +422,20 @@ class SourceFreeAdaptiveTeacherTrainer(BaseTrainer):
                     )
                     metrics = {f"{k}_pseudo": v for k, v in metrics.items()}
                     total = total * unsup_w
-                    if dc_enabled or ins_dc_enabled:
+                    if (dc_enabled and dc_image) or (ins_dc_enabled and dc_instance):
                         # one extra student pass on the weak view (train-mode
                         # BN like the reference, statistics discarded); the
                         # strong side reuses the loss pass's features
                         feat_t, _ = det._features(variables, images_w, True, mutable=True)
                         metrics, total = dc_losses(
                             params, variables, feat_s, feat_t, sizes, canvas, rng_dc, metrics, total
+                        )
+                    elif dc_enabled or ins_dc_enabled:
+                        # every built discriminator is zero-weighted: no
+                        # feature pass needed, dc_losses only logs the
+                        # reference-parity zeros
+                        metrics, total = dc_losses(
+                            params, variables, feat_s, None, sizes, canvas, rng_dc, metrics, total
                         )
                     return total, (metrics, new_stats)
 

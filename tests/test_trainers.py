@@ -151,6 +151,45 @@ class TestSFATStep:
         )
         assert max(jax.tree.leaves(moved)) > 0
 
+    def test_zero_weighted_dc_is_skipped_but_trajectory_equal(self):
+        """The flagship YAML combination (DOMAIN_CLASSIFIER.ENABLED + INS_DC
+        with IMAGE/INSTANCE False) zero-weights every discriminator. The
+        reference still runs the DC branch and logs the ZEROED values
+        (metrics_dict = loss_dict, reference sfat.py:540-575); we skip the
+        dead forwards at trace time. Guards: the logged zeros match the
+        reference's logs, the DC parameters still exist (and weight-decay),
+        and the detector trajectory is IDENTICAL to a DC-disabled run."""
+        kw = {
+            "MODEL.BACKBONE.NAME": "build_tiny_backbone",
+            "MODEL.RPN.IN_FEATURES": ("tiny1",),
+            "MODEL.ROI_HEADS.IN_FEATURES": ("tiny1",),
+        }
+        cfg = tiny_cfg("source_free_adaptive_teacher", **kw)
+        cfg.SEMISUPNET.DIS_TYPE = "tiny1"
+        cfg.DOMAIN_CLASSIFIER.ENABLED = True
+        cfg.SEMISUPNET.INS_DC = True  # IMAGE/INSTANCE stay False (defaults)
+        tr = build_trainer(cfg, synthetic=True)
+        assert "dc" in tr.state.params and "dc_ins" in tr.state.params
+        batch = one_batch(tr.cfg, tr.build_train_loader())
+        m = tr.run_step(batch)
+        assert float(m["loss_DC_img_s"]) == 0.0 and float(m["loss_DC_img_t"]) == 0.0
+        assert float(m["loss_DC_ins_s"]) == 0.0 and float(m["loss_DC_ins_t"]) == 0.0
+
+        cfg2 = tiny_cfg("source_free_adaptive_teacher", **kw)
+        cfg2.SEMISUPNET.DIS_TYPE = "tiny1"
+        tr2 = build_trainer(cfg2, synthetic=True)
+        m2 = tr2.run_step(batch)
+        # identical trajectory (tolerance only for cross-executable fusion
+        # differences; the traced det subgraph is the same)
+        np.testing.assert_allclose(
+            float(m["total_loss"]), float(m2["total_loss"]), rtol=1e-6
+        )
+        jax.tree.map(
+            lambda a, b: np.testing.assert_allclose(a, b, rtol=1e-6, atol=1e-7),
+            jax.device_get(tr.state.params["det"]),
+            jax.device_get(tr2.state.params["det"]),
+        )
+
     def test_run_steps_scan_advances_like_run_step(self):
         """run_steps(batch, n) = n steps in ONE dispatched executable
         (lax.scan). Guard: state advances n steps, RNG folds per step (the
