@@ -92,6 +92,7 @@ class DetectionLoader:
         input_format: str = "BGR",
         synthetic: bool = False,
         prefetch: int = 2,
+        decode_threads: int = 1,
     ):
         assert records, "empty dataset"
         self.records = records
@@ -105,6 +106,8 @@ class DetectionLoader:
         self.input_format = input_format
         self.synthetic = synthetic
         self.prefetch = prefetch
+        self.decode_threads = max(1, int(decode_threads))
+        self._pool = None  # lazy ThreadPoolExecutor for per-image decode
 
     def __len__(self):
         return (len(self.records) + self.batch_size - 1) // self.batch_size
@@ -122,6 +125,31 @@ class DetectionLoader:
             return img
         return _load_image(rec["file_name"], self.input_format)
 
+    def _prep_image(self, rec: dict) -> Tuple[np.ndarray, np.ndarray]:
+        """Per-record host work -> (shortest-edge-resized uint8 image,
+        scale_xy). File records take the native codec's one-C-call path
+        (decode + Pillow-bit-exact resize, GIL released — data/native_codec.py);
+        synthetic/array records and codec failures fall back to PIL."""
+        if not (self.synthetic or "image" in rec):
+            from . import native_codec
+
+            arr = native_codec.decode(rec["file_name"])  # RGB uint8 | None
+            if arr is not None:
+                h, w = arr.shape[:2]
+                nh, nw = d2_output_shape(h, w, self.min_size, self.max_size)
+                if (nh, nw) != (h, w):
+                    out = native_codec.resize_bilinear(arr, nh, nw)
+                    scale = np.asarray([nw / w, nh / h], np.float32)
+                else:
+                    out, scale = arr, np.ones((2,), np.float32)
+                if out is not None:
+                    if self.input_format == "BGR":
+                        out = out[:, :, ::-1]
+                    return out, scale
+        img = self._record_image(rec)
+        img, scale = _resize_shortest_edge(img, self.min_size, self.max_size)
+        return np.clip(img, 0, 255).astype(np.uint8), scale
+
     def _make_batch(self, recs: List[dict]) -> ArrayBatch:
         b = len(recs)
         ch, cw = self.canvas_hw
@@ -137,12 +165,21 @@ class DetectionLoader:
         heights = np.zeros((b,), np.int32)
         widths = np.zeros((b,), np.int32)
 
-        for i, rec in enumerate(recs):
-            img = self._record_image(rec)
-            img, scale = _resize_shortest_edge(img, self.min_size, self.max_size)
+        if self.decode_threads > 1 and len(recs) > 1 and not self.synthetic:
+            if self._pool is None:
+                from concurrent.futures import ThreadPoolExecutor
+
+                self._pool = ThreadPoolExecutor(
+                    max_workers=self.decode_threads, thread_name_prefix="sfod-decode"
+                )
+            preps = list(self._pool.map(self._prep_image, recs))
+        else:
+            preps = [self._prep_image(rec) for rec in recs]
+
+        for i, (rec, (img, scale)) in enumerate(zip(recs, preps)):
             h, w = img.shape[:2]
             h, w = min(h, ch), min(w, cw)
-            images[i, :h, :w] = np.clip(img[:h, :w], 0, 255).astype(np.uint8)
+            images[i, :h, :w] = img[:h, :w]
             sizes[i] = (h, w)
             scales[i] = scale
             image_ids[i] = rec["image_id"]
@@ -267,10 +304,15 @@ def build_train_loader(cfg, dataset_names=None, batch_size=None, seed=None, labe
         training=True,
         seed=cfg.SEED if seed is None else seed,
         input_format=cfg.INPUT.FORMAT,
-        # DATALOADER.NUM_WORKERS maps to prefetch-queue depth: the torch
-        # worker-process pool becomes one decode thread + a bounded queue;
+        # DATALOADER.NUM_WORKERS maps to prefetch-queue depth AND the decode
+        # thread-pool width: the torch worker-process pool becomes a bounded
+        # queue fed by N GIL-free native decode threads (data/native_codec.py);
         # 0 keeps d2's semantics (no background worker: synchronous loading)
-        **{"prefetch": int(cfg.DATALOADER.NUM_WORKERS), **kw},
+        **{
+            "prefetch": int(cfg.DATALOADER.NUM_WORKERS),
+            "decode_threads": int(cfg.DATALOADER.NUM_WORKERS),
+            **kw,
+        },
     )
 
 
@@ -285,5 +327,5 @@ def build_test_loader(cfg, dataset_name, **kw):
         cfg.TPU.GT_CAPACITY,
         training=False,
         input_format=cfg.INPUT.FORMAT,
-        **kw,
+        **{"decode_threads": int(cfg.DATALOADER.NUM_WORKERS), **kw},
     )
