@@ -238,6 +238,14 @@ def get_cfg() -> CfgNode:
     # flight so the tunnel RTT of each materializing read overlaps device
     # compute; raise on high-latency links
     c.TPU.EVAL_PIPELINE_DEPTH = 4
+    # chunks staged ahead by the training loop's background feeder thread
+    # (base.py _ChunkFeeder): loader pull + host stack + device upload of
+    # chunk j+1 overlap chunk j's execution — the measured chunk wall was
+    # 65% host work the device idled through (BENCH_NOTES round 3). 0 =
+    # synchronous staging (the pre-round-3 behavior). Only active when
+    # STEPS_PER_DISPATCH > 1; trajectories are unchanged (same batch
+    # stream, same graphs — tests/test_trainers.py::TestChunkedStepping).
+    c.TPU.CHUNK_STAGE_AHEAD = 1
 
     return c
 

@@ -41,12 +41,12 @@ class AdaptiveTeacherTrainer(SourceFreeAdaptiveTeacherTrainer):
         super().__init__(cfg, synthetic=synthetic)
         self.target_loader = None
 
-    def run_step_chunk(self, batches) -> Dict[str, float]:
-        """K steps in ONE dispatch over K (source, target) batch pairs
-        (TPU.STEPS_PER_DISPATCH): keep the per-step args as host numpy (no
-        per-step device round-trip — _step_args' jnp.asarray would upload K
-        times only for _stack_steps to pull each leaf back), stack once, one
-        transfer per leaf, scan via BaseTrainer._dispatch_chunk."""
+    def stage_chunk(self, batches):
+        """Paired (source, target) chunk stacker: keep the per-step args as
+        host numpy (no per-step device round-trip — _step_args' jnp.asarray
+        would upload K times only for _stack_steps to pull each leaf back),
+        stack once, one transfer per leaf. Target batches are pulled here in
+        step order (the feeder is the stream's single consumer)."""
         if self.target_loader is None:
             self.target_loader = iter(self._build_target_loader())
         per = []
@@ -55,8 +55,13 @@ class AdaptiveTeacherTrainer(SourceFreeAdaptiveTeacherTrainer):
             per.append(
                 (b["images"], b["sizes"], gt_instances(b, host=True), t["images"], t["sizes"])
             )
-        xs = self._shard(self._stack_steps(per), axis=1)
-        return self._dispatch_chunk(xs)
+        return self._shard(self._stack_steps(per), axis=1)
+
+    def run_step_chunk(self, batches, xs=None) -> Dict[str, float]:
+        """K steps in ONE dispatch over K (source, target) batch pairs
+        (TPU.STEPS_PER_DISPATCH; `xs` = pre-staged device tree), scan via
+        BaseTrainer._dispatch_chunk."""
+        return self._dispatch_chunk(self.stage_chunk(batches) if xs is None else xs)
 
     def build_train_loader(self):
         # labeled source loader; the unlabeled target loader is built lazily

@@ -13,6 +13,8 @@ gradient all-reduce (the NCCL DDP equivalent, SURVEY §5)."""
 from __future__ import annotations
 
 import os
+import queue as queue_mod
+import threading
 import time
 from typing import Dict
 
@@ -61,6 +63,53 @@ def apply_weak_aug(rng, images, sizes, gt: Instances, enabled: bool = True):
     rngs = jax.random.split(rng, images.shape[0])
     images, boxes = jax.vmap(per_image)(rngs, images, sizes, gt.boxes)
     return images, gt.replace(boxes=boxes)
+
+
+class _ChunkFeeder:
+    """Background staging for the chunked train loop (TPU.CHUNK_STAGE_AHEAD).
+
+    One daemon thread pulls each chunk's batches from the loader, host-stacks
+    them, and starts the sharded device upload (trainer.stage_chunk), keeping
+    up to `depth` staged chunks in a bounded queue. The main loop then only
+    dispatches — chunk j+1's host work and transfer ride under chunk j's
+    device execution instead of serializing after it. The batch stream and
+    the compiled graphs are exactly the synchronous path's, so trajectories
+    are unchanged; tail chunks (k < chunk) are passed through unstaged for
+    the loop's single-step path. Exceptions (loader or transfer) re-raise in
+    the main thread at the next get()."""
+
+    def __init__(self, trainer, it, chunk: int, total_steps: int, depth: int = 1):
+        self._q = queue_mod.Queue(maxsize=max(1, depth))
+        self._err = None
+
+        def work():
+            try:
+                done = 0
+                while done < total_steps:
+                    k = min(chunk, total_steps - done)
+                    t0 = time.perf_counter()
+                    batches = [next(it) for _ in range(k)]
+                    xs = trainer.stage_chunk(batches) if k == chunk and k > 1 else None
+                    self._q.put((k, batches, xs, time.perf_counter() - t0))
+                    done += k
+            except BaseException as e:  # surface in the consumer
+                self._err = e
+            self._q.put(None)
+
+        self._thread = threading.Thread(
+            target=work, daemon=True, name="sfod-chunk-feeder"
+        )
+        self._thread.start()
+
+    def get(self):
+        """Next (k, batches, staged_xs_or_None, stage_time), or None at end;
+        re-raises any producer exception."""
+        item = self._q.get()
+        if item is None:
+            if self._err is not None:
+                raise self._err
+            raise RuntimeError("chunk feeder exhausted before the train loop")
+        return item
 
 
 @register_trainer("base")
@@ -244,15 +293,24 @@ class BaseTrainer:
             *per_step_args,
         )
 
-    def run_step_chunk(self, batches) -> Dict[str, float]:
-        """len(batches) consecutive steps in ONE dispatched executable (each
-        scan step consumes its own batch; per-step RNG still folds on
-        state.step); TPU.STEPS_PER_DISPATCH drives it from the train loop."""
+    def stage_chunk(self, batches):
+        """Stack one chunk's batches and start the host->device transfer
+        (sharded placement). Split from dispatch so _train_loop's feeder
+        thread can overlap chunk j+1's loader pull + stack + upload with
+        chunk j's device execution (the measured chunk wall was ~65% host
+        work the device idled through — BENCH_NOTES round 3)."""
         xs = self._stack_steps(
             [(b["images"], b["sizes"], gt_instances(b, host=True)) for b in batches]
         )
-        xs = self._shard(xs, axis=1)
-        return self._dispatch_chunk(xs)
+        return self._shard(xs, axis=1)
+
+    def run_step_chunk(self, batches, xs=None) -> Dict[str, float]:
+        """len(batches) consecutive steps in ONE dispatched executable (each
+        scan step consumes its own batch; per-step RNG still folds on
+        state.step); TPU.STEPS_PER_DISPATCH drives it from the train loop.
+        `xs` carries a pre-staged (stacked, device-resident) arg tree from
+        the feeder thread; None stages synchronously."""
+        return self._dispatch_chunk(self.stage_chunk(batches) if xs is None else xs)
 
     def _build_val_loss_hook(self):
         """ValLossHook parity (reference engine/hooks/val_loss.py, enabled by
@@ -301,13 +359,23 @@ class BaseTrainer:
             return period > 0 and hi // period > lo // period
 
         i = start
+        feeder = None
+        if chunk > 1 and int(self.cfg.TPU.CHUNK_STAGE_AHEAD) > 0 and self.max_iter > start:
+            feeder = _ChunkFeeder(
+                self, it, chunk, self.max_iter - start,
+                depth=int(self.cfg.TPU.CHUNK_STAGE_AHEAD),
+            )
         while i < self.max_iter:
-            k = min(chunk, self.max_iter - i)
-            t0 = time.perf_counter()
-            batches = [next(it) for _ in range(k)]
-            data_time = time.perf_counter() - t0
+            if feeder is not None:
+                k, batches, xs, data_time = feeder.get()
+            else:
+                k = min(chunk, self.max_iter - i)
+                t0 = time.perf_counter()
+                batches = [next(it) for _ in range(k)]
+                xs = None
+                data_time = time.perf_counter() - t0
             if k == chunk and k > 1:
-                metrics = self.run_step_chunk(batches)
+                metrics = self.run_step_chunk(batches, xs=xs)
             else:
                 # single-step path; also the short tail of a chunked run —
                 # a k-length scan would be a fresh (expensive) XLA compile

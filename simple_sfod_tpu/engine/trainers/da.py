@@ -33,11 +33,10 @@ from .base import BaseTrainer, _flip_enabled, apply_weak_aug
 
 class _DATrainerBase(BaseTrainer):
     conditional = False  # CDA: multiply instance features by class probs
-    def run_step_chunk(self, batches) -> "Dict[str, float]":
-        """K steps in ONE dispatch over K (source, target) batch pairs —
-        paired-loader stacker over BaseTrainer._dispatch_chunk
-        (TPU.STEPS_PER_DISPATCH); targets are pulled in the same order as
-        the per-step path."""
+    def stage_chunk(self, batches):
+        """Paired (source, target) chunk stacker — targets are pulled in the
+        same order as the per-step path; see BaseTrainer.stage_chunk for the
+        feeder contract."""
         if self.target_loader is None:
             self.target_loader = iter(self._build_target_loader())
         per = []
@@ -46,8 +45,13 @@ class _DATrainerBase(BaseTrainer):
             per.append(
                 (b["images"], b["sizes"], gt_instances(b, host=True), t["images"], t["sizes"])
             )
-        xs = self._shard(self._stack_steps(per), axis=1)
-        return self._dispatch_chunk(xs)
+        return self._shard(self._stack_steps(per), axis=1)
+
+    def run_step_chunk(self, batches, xs=None) -> "Dict[str, float]":
+        """K steps in ONE dispatch over K (source, target) batch pairs
+        (TPU.STEPS_PER_DISPATCH; `xs` = pre-staged device tree from the
+        feeder)."""
+        return self._dispatch_chunk(self.stage_chunk(batches) if xs is None else xs)
 
     def __init__(self, cfg, synthetic: bool = False):
         if cfg.DA_FASTER.ENTROPY_CONDITIONING and not self.conditional:

@@ -513,14 +513,18 @@ class SourceFreeAdaptiveTeacherTrainer(BaseTrainer):
         self.state, metrics = self._multi_step(self.state, images, sizes, self.base_rng)
         return metrics
 
-    def run_step_chunk(self, batches) -> Dict[str, float]:
-        """K steps in ONE dispatch, each consuming its OWN batch — the
-        SFAT-signature stacker over BaseTrainer._dispatch_chunk
-        (TPU.STEPS_PER_DISPATCH). Pseudo-label visualization fires on the
-        chunk's last batch (periodicity approximated to chunk boundaries)."""
+    def stage_chunk(self, batches):
+        """SFAT-signature chunk stacker (no GT: pseudo-labels are computed
+        on device); see BaseTrainer.stage_chunk for the feeder contract."""
         xs = self._stack_steps([(b["images"], b["sizes"]) for b in batches])
-        xs = self._shard(xs, axis=1)
-        metrics = self._dispatch_chunk(xs)
+        return self._shard(xs, axis=1)
+
+    def run_step_chunk(self, batches, xs=None) -> Dict[str, float]:
+        """K steps in ONE dispatch, each consuming its OWN batch
+        (TPU.STEPS_PER_DISPATCH; `xs` = pre-staged device tree from the
+        feeder). Pseudo-label visualization fires on the chunk's last batch
+        (periodicity approximated to chunk boundaries)."""
+        metrics = self._dispatch_chunk(self.stage_chunk(batches) if xs is None else xs)
         self._maybe_visualize(batches[-1])
         return metrics
 

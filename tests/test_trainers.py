@@ -323,6 +323,28 @@ class TestChunkedStepping:
             )
         assert int(b_tr.state.step) == 4
 
+    def test_feeder_staged_chunks_match_synchronous(self):
+        """TPU.CHUNK_STAGE_AHEAD: the background feeder thread (loader pull
+        + stack + device upload off the main thread) must reproduce the
+        synchronous trajectory exactly — full chunks AND the unstaged tail
+        (MAX_ITER=5 with chunk=2 exercises both paths through train())."""
+        finals = []
+        for ahead in (0, 1):
+            cfg = self._tiny("base")
+            cfg.SOLVER.MAX_ITER = 5
+            cfg.TPU.STEPS_PER_DISPATCH = 2
+            cfg.TPU.CHUNK_STAGE_AHEAD = ahead
+            cfg.OUTPUT_DIR = f"/tmp/sfod_test_feeder_{ahead}"
+            tr = build_trainer(cfg, synthetic=True)
+            tr.train()
+            assert int(tr.state.step) == 5
+            finals.append(jax.device_get(tr.state.params))
+        for (ka, va), (kb, vb) in zip(
+            jax.tree_util.tree_leaves_with_path(finals[0]),
+            jax.tree_util.tree_leaves_with_path(finals[1]),
+        ):
+            np.testing.assert_array_equal(va, vb, err_msg=str(ka))
+
     @pytest.mark.parametrize("trainer", ["da", "adaptive_teacher"])
     def test_paired_loader_chunk_matches_single_dispatch(self, trainer):
         """The dual-loader chunk path must consume the SAME (source, target)
