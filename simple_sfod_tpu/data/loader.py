@@ -98,7 +98,17 @@ class DetectionLoader:
         self.records = records
         self.batch_size = batch_size
         self.canvas_hw = canvas_hw
-        self.min_size = min_size
+        # d2 ResizeShortestEdge semantics: a multi-valued MIN_SIZE_TRAIN is
+        # sampled per image ("choice" sampling, the d2 default the reference
+        # inherits); a scalar (or 1-tuple) pins the size. Samples are drawn
+        # on the iterator thread (never the decode pool) so the stream stays
+        # deterministic in `seed`.
+        self.min_sizes = (
+            tuple(int(s) for s in min_size)
+            if hasattr(min_size, "__len__")
+            else (int(min_size),)
+        )
+        self.min_size = self.min_sizes[0]
         self.max_size = max_size
         self.gt_capacity = gt_capacity
         self.training = training
@@ -125,18 +135,21 @@ class DetectionLoader:
             return img
         return _load_image(rec["file_name"], self.input_format)
 
-    def _prep_image(self, rec: dict) -> Tuple[np.ndarray, np.ndarray]:
+    def _prep_image(self, rec: dict, min_size: int = None) -> Tuple[np.ndarray, np.ndarray]:
         """Per-record host work -> (shortest-edge-resized uint8 image,
         scale_xy). File records take the native codec's one-C-call path
         (decode + Pillow-bit-exact resize, GIL released — data/native_codec.py);
-        synthetic/array records and codec failures fall back to PIL."""
+        synthetic/array records and codec failures fall back to PIL.
+        `min_size` carries the per-image "choice" sample (multi-valued
+        MIN_SIZE_TRAIN); None pins the first size."""
+        min_size = self.min_size if min_size is None else min_size
         if not (self.synthetic or "image" in rec):
             from . import native_codec
 
             arr = native_codec.decode(rec["file_name"])  # RGB uint8 | None
             if arr is not None:
                 h, w = arr.shape[:2]
-                nh, nw = d2_output_shape(h, w, self.min_size, self.max_size)
+                nh, nw = d2_output_shape(h, w, min_size, self.max_size)
                 if (nh, nw) != (h, w):
                     out = native_codec.resize_bilinear(arr, nh, nw)
                     scale = np.asarray([nw / w, nh / h], np.float32)
@@ -147,7 +160,7 @@ class DetectionLoader:
                         out = out[:, :, ::-1]
                     return out, scale
         img = self._record_image(rec)
-        img, scale = _resize_shortest_edge(img, self.min_size, self.max_size)
+        img, scale = _resize_shortest_edge(img, min_size, self.max_size)
         return np.clip(img, 0, 255).astype(np.uint8), scale
 
     def _make_batch(self, recs: List[dict]) -> ArrayBatch:
@@ -165,6 +178,13 @@ class DetectionLoader:
         heights = np.zeros((b,), np.int32)
         widths = np.zeros((b,), np.int32)
 
+        # per-image shortest-edge sample (d2 "choice" sampling) — drawn here
+        # on the iterator thread, in record order, so the stream is
+        # deterministic regardless of decode_threads
+        if self.training and len(self.min_sizes) > 1:
+            msizes = [int(self.rng.choice(self.min_sizes)) for _ in recs]
+        else:
+            msizes = [self.min_size] * len(recs)
         if self.decode_threads > 1 and len(recs) > 1 and not self.synthetic:
             if self._pool is None:
                 from concurrent.futures import ThreadPoolExecutor
@@ -172,9 +192,9 @@ class DetectionLoader:
                 self._pool = ThreadPoolExecutor(
                     max_workers=self.decode_threads, thread_name_prefix="sfod-decode"
                 )
-            preps = list(self._pool.map(self._prep_image, recs))
+            preps = list(self._pool.map(self._prep_image, recs, msizes))
         else:
-            preps = [self._prep_image(rec) for rec in recs]
+            preps = [self._prep_image(rec, ms) for rec, ms in zip(recs, msizes)]
 
         for i, (rec, (img, scale)) in enumerate(zip(recs, preps)):
             h, w = img.shape[:2]
@@ -298,7 +318,7 @@ def build_train_loader(cfg, dataset_names=None, batch_size=None, seed=None, labe
         records,
         batch_size or cfg.SOLVER.IMS_PER_BATCH,
         tuple(cfg.TPU.CANVAS),
-        cfg.INPUT.MIN_SIZE_TRAIN[0],
+        tuple(cfg.INPUT.MIN_SIZE_TRAIN),  # multi-valued: per-image "choice"
         cfg.INPUT.MAX_SIZE_TRAIN,
         cfg.TPU.GT_CAPACITY,
         training=True,

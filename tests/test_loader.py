@@ -143,3 +143,51 @@ class TestRegistryPathConsistency:
         finally:
             D.DATASET_REGISTRY.clear()
             D.DATASET_REGISTRY.update(saved)
+
+
+class TestMultiScaleChoice:
+    """Multi-valued MIN_SIZE_TRAIN = d2 ResizeShortestEdge "choice" sampling:
+    a per-image size drawn on the iterator thread, deterministic in seed."""
+
+    def _recs(self, n=6):
+        base = records_with_image(100, 200)[0]
+        return [dict(base, image_id=i + 1) for i in range(n)]
+
+    def test_choice_samples_both_sizes_deterministically(self):
+        kw = dict(
+            batch_size=2, canvas_hw=(96, 192), min_size=(50, 80), gt_capacity=4,
+            training=True, prefetch=0, seed=3,
+        )
+        seen = set()
+        a_sizes, b_sizes = [], []
+        for sizes_out, loader in (
+            (a_sizes, DetectionLoader(self._recs(), **kw)),
+            (b_sizes, DetectionLoader(self._recs(), **kw)),
+        ):
+            it = iter(loader)
+            for _ in range(6):
+                batch = next(it)
+                for hw, sc in zip(batch["sizes"], batch["scale"]):
+                    assert tuple(hw.tolist()) in {(50, 100), (80, 160)}
+                    seen.add(tuple(hw.tolist()))
+                    # GT scale follows the per-image sample
+                    np.testing.assert_allclose(sc, [hw[0] / 100] * 2)
+                sizes_out.extend(map(tuple, batch["sizes"].tolist()))
+        assert seen == {(50, 100), (80, 160)}, seen
+        assert a_sizes == b_sizes  # same seed -> identical stream
+
+    def test_single_size_is_pinned(self):
+        loader = DetectionLoader(
+            self._recs(2), batch_size=2, canvas_hw=(96, 192), min_size=(50,),
+            gt_capacity=4, training=True, prefetch=0,
+        )
+        batch = next(iter(loader))
+        assert set(map(tuple, batch["sizes"].tolist())) == {(50, 100)}
+
+    def test_eval_never_samples(self):
+        loader = DetectionLoader(
+            self._recs(2), batch_size=2, canvas_hw=(96, 192), min_size=(50, 80),
+            gt_capacity=4, training=False, prefetch=0,
+        )
+        batch = next(iter(loader))
+        assert set(map(tuple, batch["sizes"].tolist())) == {(50, 100)}
