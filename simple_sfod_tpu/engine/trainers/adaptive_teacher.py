@@ -25,7 +25,7 @@ from ...models.detector import DetectionBatch
 from ...models.faster_rcnn import dc_image_feature
 from ...ops.losses import sigmoid_ce
 from ...structures.instances import Instances
-from ...solver.build import apply_gradients
+from ...solver.build import apply_gradients, stop_frozen_gradients
 from ..train_state import TeacherStudentState, ema_update
 from . import register_trainer
 from .base import _flip_enabled, apply_weak_aug
@@ -86,6 +86,7 @@ class AdaptiveTeacherTrainer(SourceFreeAdaptiveTeacherTrainer):
         cfg = self.cfg
         optimizer = self.optimizer
         flip = _flip_enabled(self.cfg)
+        freeze_at = int(cfg.MODEL.BACKBONE.FREEZE_AT)
         bbox_threshold = float(cfg.SEMISUPNET.BBOX_THRESHOLD)
         unsup_w = float(cfg.SEMISUPNET.UNSUP_LOSS_WEIGHT)
         sup_w = float(cfg.SEMISUPNET.SUP_LOSS_WEIGHT)
@@ -135,6 +136,7 @@ class AdaptiveTeacherTrainer(SourceFreeAdaptiveTeacherTrainer):
             )
 
             def loss_fn(params):
+                params = stop_frozen_gradients(params, freeze_at)
                 variables = {"params": params["det"], "batch_stats": state.batch_stats}
                 # ONE backbone pass per view; the DC heads reuse these
                 # features instead of running their own passes (same

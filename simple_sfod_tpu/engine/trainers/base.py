@@ -31,7 +31,7 @@ from ...models.detector import DetectionBatch, Detector
 from ...parallel.mesh import make_mesh, shard_batch, shard_state
 from ...solver.build import build_optimizer, warmup_multistep_schedule
 from ...structures.instances import Instances
-from ...solver.build import apply_gradients
+from ...solver.build import apply_gradients, stop_frozen_gradients
 from ..eval_loop import inference_on_dataset
 from ..events import ConsoleWriter, EventStorage, JSONWriter
 from ..train_state import TrainState
@@ -208,6 +208,7 @@ class BaseTrainer:
         det = self.detector
         optimizer = self.optimizer
         flip = _flip_enabled(self.cfg)
+        freeze_at = int(self.cfg.MODEL.BACKBONE.FREEZE_AT)
 
         def step_fn(state: TrainState, images, sizes, gt: Instances, rng):
             images = images.astype(jnp.float32)  # uint8 arrives over PCIe/tunnel
@@ -217,6 +218,8 @@ class BaseTrainer:
             batch = DetectionBatch(images=images, sizes=sizes, gt=gt_aug)
 
             def loss_fn(params):
+                # frozen stages contribute no backward (d2 requires_grad=False)
+                params = stop_frozen_gradients(params, freeze_at)
                 variables = {"params": params, "batch_stats": state.batch_stats}
                 total, metrics, new_stats = det.supervised_losses(
                     variables, batch, rng_loss

@@ -25,7 +25,7 @@ from ...models.detector import DetectionBatch
 from ...models.faster_rcnn import anchors_for, dc_image_feature, propose, pool_rois
 from ...ops.losses import sigmoid_ce
 from ...structures.instances import Instances
-from ...solver.build import apply_gradients
+from ...solver.build import apply_gradients, stop_frozen_gradients
 from ..train_state import TrainState
 from . import register_trainer
 from .base import BaseTrainer, _flip_enabled, apply_weak_aug
@@ -105,6 +105,7 @@ class _DATrainerBase(BaseTrainer):
         cfg = self.cfg
         optimizer = self.optimizer
         flip = _flip_enabled(self.cfg)
+        freeze_at = int(cfg.MODEL.BACKBONE.FREEZE_AT)
         w_img = float(cfg.DA_FASTER.DC_IMG_GRL_WEIGHT)
         w_ins = float(cfg.DA_FASTER.DC_INS_GRL_WEIGHT)
         w_cst = float(cfg.DA_FASTER.DC_CONSISTENCY_WEIGHT)
@@ -175,6 +176,7 @@ class _DATrainerBase(BaseTrainer):
             src_images, src_gt = apply_weak_aug(k_flip, src_images, src_sizes, src_gt, flip)
 
             def loss_fn(params):
+                params = stop_frozen_gradients(params, freeze_at)
                 variables = {"params": params["det"], "batch_stats": state.batch_stats}
                 sup_total, metrics, new_stats = det.supervised_losses(
                     variables, DetectionBatch(src_images, src_sizes, src_gt), k_sup

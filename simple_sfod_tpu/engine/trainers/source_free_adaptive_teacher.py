@@ -34,7 +34,7 @@ from ...models.detector import DetectionBatch
 from ...models.faster_rcnn import dc_image_feature
 from ...ops.losses import sigmoid_ce
 from ...structures.instances import Instances
-from ...solver.build import apply_gradients
+from ...solver.build import apply_gradients, stop_frozen_gradients
 from ..train_state import AdaptiveThresholdState, TeacherStudentState, ema_update
 from . import register_trainer
 from .base import BaseTrainer, _flip_enabled, apply_weak_aug
@@ -187,6 +187,7 @@ class SourceFreeAdaptiveTeacherTrainer(BaseTrainer):
         cfg = self.cfg
         optimizer = self.optimizer
         flip = _flip_enabled(self.cfg)
+        freeze_at = int(cfg.MODEL.BACKBONE.FREEZE_AT)
         bbox_threshold = float(cfg.SEMISUPNET.BBOX_THRESHOLD)
         unsup_w = float(cfg.SEMISUPNET.UNSUP_LOSS_WEIGHT)
         dis_w = float(cfg.SEMISUPNET.DIS_LOSS_WEIGHT)
@@ -356,6 +357,7 @@ class SourceFreeAdaptiveTeacherTrainer(BaseTrainer):
                 # the fusion, SEMISUPNET.SPLIT_VIEW_BN=True switches to the
                 # reference-exact two-pass semantics below.
                 def loss_fn(params):
+                    params = stop_frozen_gradients(params, freeze_at)
                     variables = {"params": params["det"], "batch_stats": state.batch_stats}
                     if split_view_bn:
                         # SEMISUPNET.SPLIT_VIEW_BN: reference-exact two-pass
@@ -414,6 +416,7 @@ class SourceFreeAdaptiveTeacherTrainer(BaseTrainer):
                 batch = DetectionBatch(images=images_s, sizes=sizes, gt=pseudo_gt)
 
                 def loss_fn(params):
+                    params = stop_frozen_gradients(params, freeze_at)
                     variables = {"params": params["det"], "batch_stats": state.batch_stats}
                     feat_s, mutated = det._features(variables, images_s, True, mutable=True)
                     new_stats = mutated.get("batch_stats", {})

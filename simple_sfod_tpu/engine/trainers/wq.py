@@ -18,7 +18,7 @@ from ...data import transforms as T
 from ...data.mosaic import mixup_batch, mosaic_batch
 from ...models.detector import DetectionBatch
 from ...structures.instances import Instances
-from ...solver.build import apply_gradients
+from ...solver.build import apply_gradients, stop_frozen_gradients
 from ..train_state import TrainState
 from . import register_trainer
 from .base import BaseTrainer, _flip_enabled, apply_weak_aug
@@ -31,6 +31,7 @@ class WQTrainer(BaseTrainer):
         det = self.detector
         optimizer = self.optimizer
         flip = _flip_enabled(self.cfg)
+        freeze_at = int(self.cfg.MODEL.BACKBONE.FREEZE_AT)
         aug = self.aug
 
         def step_fn(state: TrainState, images, sizes, gt: Instances, rng):
@@ -51,6 +52,7 @@ class WQTrainer(BaseTrainer):
             batch = DetectionBatch(images=images, sizes=sizes, gt=gt)
 
             def loss_fn(params):
+                params = stop_frozen_gradients(params, freeze_at)
                 variables = {"params": params, "batch_stats": state.batch_stats}
                 total, metrics, new_stats = det.supervised_losses(
                     variables, batch, rng_loss

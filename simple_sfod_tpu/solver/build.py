@@ -157,6 +157,27 @@ def backbone_freeze_mask(params, freeze_at: int):
     return jax.tree_util.tree_map_with_path(lambda path, _: frozen(path), params)
 
 
+def stop_frozen_gradients(params, freeze_at: int):
+    """d2's requires_grad=False, compute-faithfully: stop_gradient on frozen
+    leaves inside the loss so XLA eliminates the frozen stages' BACKWARD
+    entirely. The masked optimizer (with_frozen) alone only zeroes the
+    UPDATES — the backward through stem/res2 still ran at the largest
+    feature resolutions, compute the reference never pays (its frozen
+    modules have requires_grad=False). Trainers call this on the params
+    tree at the top of every loss closure; the name-based mask is decided
+    at trace time, so VGG configs (no stem/res leaves) get the identity
+    and an unchanged graph. Updates are bit-identical either way (frozen
+    grads were already discarded); only the gradient COMPUTATION changes."""
+    if freeze_at <= 0:
+        return params
+    mask = backbone_freeze_mask(params, freeze_at)
+    if not any(jax.tree.leaves(mask)):
+        return params
+    return jax.tree.map(
+        lambda p, f: jax.lax.stop_gradient(p) if f else p, params, mask
+    )
+
+
 def _zero_frozen(updates, params, freeze_at: int):
     mask = backbone_freeze_mask(params, freeze_at)
     return jax.tree.map(

@@ -180,3 +180,71 @@ class TestBackboneFreeze:
         mask1 = backbone_freeze_mask(params, 1)
         assert mask1["det"]["backbone"]["stem_conv"]["kernel"]
         assert not mask1["det"]["backbone"]["res2_block0"]["conv1"]["kernel"]
+
+
+class TestStopFrozenGradients:
+    """stop_frozen_gradients: d2's requires_grad=False on the compute side —
+    frozen leaves' gradients are STRUCTURAL zeros (the backward is never
+    built), not merely discarded by the masked optimizer."""
+
+    def _params(self):
+        mk = lambda: {"kernel": jnp.ones((2, 2)), "bias": jnp.ones((2,))}
+        return {
+            "det": {
+                "backbone": {
+                    "stem_conv": mk(),
+                    "res2_block0": {"conv1": mk()},
+                    "res3_block0": {"conv1": mk()},
+                },
+                "rpn_head": {"conv": mk()},
+            }
+        }
+
+    def test_frozen_grads_are_zero_trainable_flow(self):
+        from simple_sfod_tpu.solver.build import stop_frozen_gradients
+
+        def loss(params):
+            p = stop_frozen_gradients(params, 2)
+            return sum(jnp.sum(x**2) for x in jax.tree.leaves(p))
+
+        grads = jax.grad(loss)(self._params())
+        bb = grads["det"]["backbone"]
+        assert float(jnp.abs(bb["stem_conv"]["kernel"]).max()) == 0.0
+        assert float(jnp.abs(bb["res2_block0"]["conv1"]["kernel"]).max()) == 0.0
+        assert float(jnp.abs(bb["res3_block0"]["conv1"]["kernel"]).min()) > 0.0
+        assert float(jnp.abs(grads["det"]["rpn_head"]["conv"]["kernel"]).min()) > 0.0
+
+    def test_identity_when_nothing_matches_or_freeze_off(self):
+        from simple_sfod_tpu.solver.build import stop_frozen_gradients
+
+        vgg_like = {"det": {"backbone": {"vgg1_1": {"kernel": jnp.ones((2,))}}}}
+        assert stop_frozen_gradients(vgg_like, 2) is vgg_like  # same object: graph unchanged
+        p = self._params()
+        assert stop_frozen_gradients(p, 0) is p
+
+    def test_trainers_wire_the_stop(self, monkeypatch):
+        """Every trainer's loss closure must route params through
+        stop_frozen_gradients (the wrap is what kills the frozen backward)."""
+        import simple_sfod_tpu.engine.trainers.base as base_mod
+        from simple_sfod_tpu.solver.build import stop_frozen_gradients
+        from test_trainers import tiny_cfg, one_batch
+        from simple_sfod_tpu.engine.trainers import build_trainer
+
+        calls = []
+
+        def spy(params, freeze_at):
+            calls.append(freeze_at)
+            return stop_frozen_gradients(params, freeze_at)
+
+        monkeypatch.setattr(base_mod, "stop_frozen_gradients", spy)
+        cfg = tiny_cfg(
+            "base",
+            **{
+                "MODEL.BACKBONE.NAME": "build_tiny_backbone",
+                "MODEL.RPN.IN_FEATURES": ("tiny1",),
+                "MODEL.ROI_HEADS.IN_FEATURES": ("tiny1",),
+            },
+        )
+        tr = build_trainer(cfg, synthetic=True)
+        tr.run_step(one_batch(cfg, tr.build_train_loader()))
+        assert calls and calls[0] == int(cfg.MODEL.BACKBONE.FREEZE_AT)
