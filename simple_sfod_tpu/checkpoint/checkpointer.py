@@ -6,6 +6,7 @@ weights only)."""
 from __future__ import annotations
 
 import os
+import threading
 from typing import Any, Optional
 
 import jax
@@ -21,26 +22,63 @@ class Checkpointer:
         # (reference detection_ts_checkpointer.py:12-90 consumes torch files
         # with name-matching heuristics)
         self.det_cfg = det_cfg
+        self._pending: Optional[threading.Thread] = None
+        self._save_err: Optional[BaseException] = None
 
     def _path(self, name: str) -> str:
         return os.path.join(self.dir, name)
 
-    def save(self, name: str, state: Any):
+    def wait(self):
+        """Block until any in-flight async save is durable; re-raise its
+        error (a failed checkpoint must not be silently lost)."""
+        if self._pending is not None:
+            self._pending.join()
+            self._pending = None
+        if self._save_err is not None:
+            err, self._save_err = self._save_err, None
+            raise err
+
+    def save(self, name: str, state: Any, block: bool = True):
+        """Save `state`; durable on return by default. block=False (the
+        train loop's PERIODIC saves) snapshots to host here but writes the
+        blob on a background thread so the loop doesn't stall for the disk —
+        the `last_checkpoint` marker is written only AFTER the blob is
+        complete (resume can never see a half-written checkpoint), the
+        thread is non-daemon (process exit waits for durability), and every
+        other Checkpointer entry point joins it first. Cross-INSTANCE readers
+        in the same process should use the default durable mode."""
+        host_state = jax.device_get(state)  # materializes the step's result
+        self.wait()  # one save in flight at a time; surfaces earlier errors
         path = self._path(name)
-        self._ckpt.save(path, jax.device_get(state), force=True)
-        with open(os.path.join(self.dir, "last_checkpoint"), "w") as f:
-            f.write(name)
+
+        def work():
+            try:
+                self._ckpt.save(path, host_state, force=True)
+                with open(os.path.join(self.dir, "last_checkpoint"), "w") as f:
+                    f.write(name)
+            except BaseException as e:
+                self._save_err = e
+
+        self._pending = threading.Thread(
+            target=work, daemon=False, name="sfod-ckpt-save"
+        )
+        self._pending.start()
+        if block:
+            self.wait()
 
     def load(self, path_or_name: str, target: Optional[Any] = None) -> Any:
+        self.wait()
         path = path_or_name if os.path.isabs(path_or_name) else self._path(path_or_name)
         if target is not None:
             return self._ckpt.restore(path, item=target)
         return self._ckpt.restore(path)
 
     def has_checkpoint(self) -> bool:
+        self.wait()
         return os.path.exists(os.path.join(self.dir, "last_checkpoint"))
 
     def last_checkpoint(self) -> Optional[str]:
+        self.wait()
         marker = os.path.join(self.dir, "last_checkpoint")
         if not os.path.exists(marker):
             return None

@@ -396,7 +396,7 @@ class BaseTrainer:
                 for w in self.writers:
                     w.write(self.storage)
             if crossed(self.cfg.SOLVER.CHECKPOINT_PERIOD, i, last + 1):
-                self.checkpointer.save(f"model_{last:07d}", self.state)
+                self.checkpointer.save(f"model_{last:07d}", self.state, block=False)
             if crossed(self.cfg.TEST.EVAL_PERIOD, i, last + 1):
                 self.test()
             if val_hook is not None:

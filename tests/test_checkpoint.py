@@ -493,3 +493,37 @@ class TestEndToEndGolden:
         assert np.asarray(dets.classes[0])[order[:4]].tolist() == self.GOLD_CLASSES[:4]
         # rank 5 is a near-tie: assert the score level, not the identity
         assert abs(scores[order[4]] - self.GOLD_SCORES[4]) < 1e-2
+
+
+class TestAsyncSave:
+    """Periodic saves write on a background thread; the last_checkpoint
+    marker appears only once the blob is durable, and wait()/load() join."""
+
+    def test_async_save_round_trip(self, tmp_path):
+        import jax.numpy as jnp
+        from simple_sfod_tpu.checkpoint.checkpointer import Checkpointer
+
+        ck = Checkpointer(str(tmp_path))
+        state = {"w": jnp.arange(8, dtype=jnp.float32), "step": jnp.int32(7)}
+        ck.save("model_0000007", state, block=False)  # async
+        # load() joins the in-flight save before reading
+        out = ck.load("model_0000007")
+        assert int(out["step"]) == 7
+        assert ck.last_checkpoint() == "model_0000007"
+
+    def test_save_error_surfaces_on_wait(self, tmp_path, monkeypatch):
+        import jax.numpy as jnp
+        import pytest
+        from simple_sfod_tpu.checkpoint.checkpointer import Checkpointer
+
+        ck = Checkpointer(str(tmp_path))
+
+        def boom(*a, **k):
+            raise RuntimeError("disk full")
+
+        monkeypatch.setattr(ck._ckpt, "save", boom)
+        ck.save("model_x", {"w": jnp.zeros(2)}, block=False)
+        with pytest.raises(RuntimeError, match="disk full"):
+            ck.wait()
+        # the marker must not exist for the failed save
+        assert ck.last_checkpoint() is None
