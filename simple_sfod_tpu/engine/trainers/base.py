@@ -337,7 +337,23 @@ class BaseTrainer:
 
     def train(self):
         """Training loop with the reference's crash handling (sfat.py:126-139:
-        log + re-raise) plus an emergency checkpoint for resumability."""
+        log + re-raise) plus an emergency checkpoint for resumability, plus
+        preemption handling: preemptible TPU fleets deliver SIGTERM before
+        eviction — the loop finishes the in-flight chunk, writes a durable
+        checkpoint, and returns cleanly so `--resume` continues the run."""
+        import signal
+
+        self._preempted = False
+        prev_handler = None
+
+        def on_term(signum, frame):
+            print("[trainer] SIGTERM: will checkpoint at the chunk boundary", flush=True)
+            self._preempted = True
+
+        try:  # signal handlers only install from the main thread
+            prev_handler = signal.signal(signal.SIGTERM, on_term)
+        except ValueError:
+            pass
         try:
             self._train_loop()
         except Exception:
@@ -348,6 +364,9 @@ class BaseTrainer:
             except Exception as save_err:  # keep the original traceback primary
                 print(f"[trainer] emergency save failed: {save_err}", flush=True)
             raise
+        finally:
+            if prev_handler is not None:
+                signal.signal(signal.SIGTERM, prev_handler)
 
     def _train_loop(self):
         self.train_loader = self.train_loader or self.build_train_loader()
@@ -406,6 +425,11 @@ class BaseTrainer:
                 )
             self.storage.step()
             i += k
+            if getattr(self, "_preempted", False):
+                name = f"model_preempt_{i - 1:07d}"
+                print(f"[trainer] preempted: saving {name} and stopping", flush=True)
+                self.checkpointer.save(name, self.state)  # durable before exit
+                return
         self.checkpointer.save("model_final", self.state)
 
     # -- evaluation ----------------------------------------------------------

@@ -532,3 +532,55 @@ class TestAutoScale:
         # no-op when unset
         cfg2 = tiny_cfg("base")
         assert auto_scale_workers(cfg2, 4) is cfg2
+
+
+class TestPreemption:
+    """SIGTERM mid-run (preemptible TPU fleets deliver it before eviction):
+    the loop finishes the in-flight chunk, writes a durable model_preempt_*
+    checkpoint, returns cleanly — and --resume continues to MAX_ITER."""
+
+    def test_sigterm_checkpoints_and_resume_completes(self):
+        import os
+        import signal
+        import threading
+
+        kw = {
+            "MODEL.BACKBONE.NAME": "build_tiny_backbone",
+            "MODEL.RPN.IN_FEATURES": ("tiny1",),
+            "MODEL.ROI_HEADS.IN_FEATURES": ("tiny1",),
+        }
+        cfg = tiny_cfg("base", **kw)
+        cfg.SOLVER.MAX_ITER = 6
+        cfg.TPU.STEPS_PER_DISPATCH = 2
+        cfg.OUTPUT_DIR = "/tmp/sfod_test_preempt"
+        import shutil
+
+        shutil.rmtree(cfg.OUTPUT_DIR, ignore_errors=True)
+        tr = build_trainer(cfg, synthetic=True)
+
+        orig = tr.run_step_chunk
+        fired = threading.Event()
+
+        def slow_chunk(batches, xs=None):
+            # deliver SIGTERM while a chunk is in flight (once)
+            if not fired.is_set():
+                fired.set()
+                os.kill(os.getpid(), signal.SIGTERM)
+            return orig(batches, xs=xs)
+
+        tr.run_step_chunk = slow_chunk
+        tr.train()  # returns cleanly instead of dying
+        stopped_at = int(tr.state.step)
+        assert 0 < stopped_at < 6
+        last = tr.checkpointer.last_checkpoint()
+        assert last and last.startswith("model_preempt_"), last
+        assert not os.path.exists(os.path.join(cfg.OUTPUT_DIR, "model_final"))
+        # default SIGTERM disposition is restored after train()
+        assert signal.getsignal(signal.SIGTERM) in (signal.SIG_DFL, signal.Handlers.SIG_DFL)
+
+        tr2 = build_trainer(cfg, synthetic=True)
+        tr2.resume_or_load(resume=True)
+        assert int(tr2.state.step) == stopped_at
+        tr2.train()
+        assert int(tr2.state.step) == 6
+        assert tr2.checkpointer.last_checkpoint() == "model_final"
