@@ -323,18 +323,21 @@ class TestChunkedStepping:
             )
         assert int(b_tr.state.step) == 4
 
-    def test_feeder_staged_chunks_match_synchronous(self):
+    @pytest.mark.parametrize("trainer", ["base", "da"])
+    def test_feeder_staged_chunks_match_synchronous(self, trainer):
         """TPU.CHUNK_STAGE_AHEAD: the background feeder thread (loader pull
         + stack + device upload off the main thread) must reproduce the
         synchronous trajectory exactly — full chunks AND the unstaged tail
-        (MAX_ITER=5 with chunk=2 exercises both paths through train())."""
+        (MAX_ITER=5 with chunk=2 exercises both paths through train());
+        'da' additionally covers the paired-loader stage_chunk on the
+        feeder thread (target stream pulled in step order)."""
         finals = []
         for ahead in (0, 1):
-            cfg = self._tiny("base")
+            cfg = self._tiny(trainer)
             cfg.SOLVER.MAX_ITER = 5
             cfg.TPU.STEPS_PER_DISPATCH = 2
             cfg.TPU.CHUNK_STAGE_AHEAD = ahead
-            cfg.OUTPUT_DIR = f"/tmp/sfod_test_feeder_{ahead}"
+            cfg.OUTPUT_DIR = f"/tmp/sfod_test_feeder_{trainer}_{ahead}"
             tr = build_trainer(cfg, synthetic=True)
             tr.train()
             assert int(tr.state.step) == 5
