@@ -159,6 +159,14 @@ def main():
     with open(pseudo_json) as f:
         n_pseudo = len(json.load(f)["annotations"])
     summary["3_splice"] = {"pseudo_annotations": n_pseudo}
+    if n_pseudo == 0:
+        raise SystemExit(
+            "stage 3 spliced 0 pseudo-GT annotations: no stage-2 detection "
+            "cleared prediction_to_gt's 0.7 score threshold, so stage 4 "
+            "would train on an empty dataset. The stage-1 model is too weak "
+            "at this scale — raise --iters (the recorded artifact used "
+            "--iters 1000 --retrain-iters 150, WORKFLOWS.md section 10)."
+        )
 
     # -- stage 4: WQ strong-aug retrain on the pseudo-GT
     s4 = os.path.join(root, "s4_wq")
