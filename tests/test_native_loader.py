@@ -151,3 +151,26 @@ class TestLoaderIntegration:
         pil = next(iter(DetectionLoader(recs, decode_threads=1, **kw)))
         for k in pil:
             np.testing.assert_array_equal(broken[k], pil[k], err_msg=k)
+
+
+class TestResizeParityFuzz:
+    def test_random_geometries_bit_exact(self):
+        """Property check over random (h, w) -> (nh, nw) pairs, including
+        the d2_output_shape geometries real datasets produce: every byte
+        equals Pillow BILINEAR."""
+        from simple_sfod_tpu.data.loader import d2_output_shape
+
+        rng = np.random.default_rng(7)
+        for i in range(25):
+            h = int(rng.integers(4, 200))
+            w = int(rng.integers(4, 200))
+            if i % 2:
+                nh, nw = d2_output_shape(h, w, int(rng.integers(8, 160)), 300)
+            else:
+                nh = int(rng.integers(4, 220))
+                nw = int(rng.integers(4, 220))
+            img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+            ref = np.asarray(Image.fromarray(img).resize((nw, nh), Image.BILINEAR))
+            out = nc.resize_bilinear(img, nh, nw)
+            assert out is not None
+            np.testing.assert_array_equal(ref, out, err_msg=f"{(h, w, nh, nw)}")
