@@ -151,7 +151,10 @@ int decode_jpeg(FILE* f, uint8_t** out, int32_t* h, int32_t* w) {
   JpegErr jerr;
   cinfo.err = jpeg_std_error(&jerr.mgr);
   jerr.mgr.error_exit = jpeg_err_exit;
-  uint8_t* buf = nullptr;
+  // volatile: modified between setjmp and longjmp — non-volatile locals are
+  // indeterminate in the longjmp path (C standard; libjpeg example.c does
+  // the same), which under -O3 can mean freeing a stale register value
+  uint8_t* volatile buf = nullptr;
   if (setjmp(jerr.jump)) {
     jpeg_destroy_decompress(&cinfo);
     free(buf);
@@ -197,8 +200,9 @@ int decode_png(FILE* f, uint8_t** out, int32_t* h, int32_t* w) {
     png_destroy_read_struct(&png, nullptr, nullptr);
     return -5;
   }
-  uint8_t* buf = nullptr;
-  std::vector<png_bytep>* rows_ptr = nullptr;
+  // volatile for the same setjmp/longjmp reason as decode_jpeg
+  uint8_t* volatile buf = nullptr;
+  std::vector<png_bytep>* volatile rows_ptr = nullptr;
   if (setjmp(png_jmpbuf(png))) {
     png_destroy_read_struct(&png, &info, nullptr);
     free(buf);

@@ -110,6 +110,28 @@ class DetectionLoader:
         )
         self.min_size = self.min_sizes[0]
         self.max_size = max_size
+        if training and len(self.min_sizes) > 1:
+            # multi-scale sampling must fit the static canvas at EVERY size:
+            # a sampled scale whose resized image overflows would be silently
+            # cropped while the scaled GT kept out-of-canvas coordinates —
+            # corrupted supervision with no error. Exact check against the
+            # records' true dims (they are required keys).
+            try:
+                hs = np.asarray([r["height"] for r in records])
+                ws = np.asarray([r["width"] for r in records])
+            except KeyError:
+                hs = ws = None
+            if hs is not None:
+                for ms in self.min_sizes:
+                    nhs_nws = [d2_output_shape(int(h), int(w), ms, max_size) for h, w in zip(hs, ws)]
+                    bad = [(nh, nw) for nh, nw in nhs_nws if nh > canvas_hw[0] or nw > canvas_hw[1]]
+                    if bad:
+                        raise ValueError(
+                            f"MIN_SIZE_TRAIN choice {ms} resizes {len(bad)} "
+                            f"image(s) beyond TPU.CANVAS {tuple(canvas_hw)} "
+                            f"(worst {max(bad)}); raise TPU.CANVAS to fit the "
+                            "largest training scale"
+                        )
         self.gt_capacity = gt_capacity
         self.training = training
         self.rng = np.random.RandomState(seed)
@@ -198,6 +220,7 @@ class DetectionLoader:
 
         for i, (rec, (img, scale)) in enumerate(zip(recs, preps)):
             h, w = img.shape[:2]
+            cropped = h > ch or w > cw  # single-size outlier aspect ratios
             h, w = min(h, ch), min(w, cw)
             images[i, :h, :w] = img[:h, :w]
             sizes[i] = (h, w)
@@ -214,9 +237,18 @@ class DetectionLoader:
                 areas = (boxes[:, 2] - boxes[:, 0]) * (boxes[:, 3] - boxes[:, 1])
                 keep = np.argsort(-areas)[:n]
                 boxes, classes = boxes[keep], classes[keep]
+            if cropped:
+                # the image was cropped to the canvas: clip the scaled GT to
+                # the placed extent and drop boxes that fell entirely outside
+                # (out-of-canvas coordinates would train phantom objects)
+                boxes[:, 0::2] = np.clip(boxes[:, 0::2], 0, w)
+                boxes[:, 1::2] = np.clip(boxes[:, 1::2], 0, h)
+                alive = (boxes[:, 2] > boxes[:, 0]) & (boxes[:, 3] > boxes[:, 1])
+            else:
+                alive = np.ones((len(boxes),), bool)
             gt_boxes[i, :k] = boxes[:k]
             gt_classes[i, :k] = classes[:k]
-            gt_valid[i, :k] = True
+            gt_valid[i, :k] = alive[:k]
 
         return ArrayBatch(
             images=images,

@@ -29,7 +29,7 @@ import numpy as np
 _LIB = None
 _TRIED = False
 _LOCK = threading.Lock()
-_SELFCHECKED = False
+_CHECKED = {"jpeg": False, "png": False}  # per-format one-shot PIL cross-check
 _DISABLED = False
 
 NATIVE_DIR = os.path.join(os.path.dirname(__file__), "..", "..", "native")
@@ -77,10 +77,30 @@ def available() -> bool:
     return not _DISABLED and _load() is not None
 
 
+def _sniff_format(path: str) -> Optional[str]:
+    try:
+        with open(path, "rb") as f:
+            magic = f.read(8)
+    except OSError:
+        return None
+    if magic[:3] == b"\xff\xd8\xff":
+        return "jpeg"
+    if magic == b"\x89PNG\r\n\x1a\n":
+        return "png"
+    return None
+
+
 def decode(path: str) -> Optional[np.ndarray]:
     """Decode a JPEG/PNG to RGB uint8 [H, W, 3]; None on failure (caller
-    falls back to PIL)."""
-    global _SELFCHECKED, _DISABLED
+    falls back to PIL).
+
+    Belt-and-braces runtime guard on top of the parity tests: the first
+    decode of EACH format is cross-checked byte-for-byte against PIL before
+    it is returned (under the lock, so no thread can return an unverified
+    array while the check is pending); any mismatch — e.g. a system libjpeg
+    whose fancy upsampling differs from Pillow's bundled libjpeg-turbo —
+    disables the native codec for the process and falls back to PIL."""
+    global _DISABLED
     lib = _load()
     if lib is None or _DISABLED:
         return None
@@ -94,10 +114,12 @@ def decode(path: str) -> Optional[np.ndarray]:
         return None
     arr = np.ctypeslib.as_array(out, shape=(h.value, w.value, 3)).copy()
     lib.sfod_image_free(out)
-    if not _SELFCHECKED:
+    fmt = _sniff_format(path)
+    if fmt is not None and not _CHECKED[fmt]:
         with _LOCK:
-            if not _SELFCHECKED:
-                _SELFCHECKED = True
+            if _DISABLED:
+                return None
+            if not _CHECKED[fmt]:
                 try:
                     from PIL import Image
 
@@ -105,13 +127,18 @@ def decode(path: str) -> Optional[np.ndarray]:
                         ref = np.asarray(im.convert("RGB"), np.uint8)
                     if ref.shape != arr.shape or not np.array_equal(ref, arr):
                         print(
-                            "[native_codec] decode mismatch vs PIL on "
+                            f"[native_codec] {fmt} decode mismatch vs PIL on "
                             f"{path}; disabling the native codec"
                         )
                         _DISABLED = True
                         return None
+                    _CHECKED[fmt] = True
+                except ImportError:
+                    _CHECKED[fmt] = True  # no PIL: trust the parity tests
                 except Exception:
-                    pass  # no PIL / unreadable: trust the parity tests
+                    pass  # PIL couldn't read THIS file: retry the check on
+                    # the next decode of this format; the native array is
+                    # still the only working decode of the file
     return arr
 
 

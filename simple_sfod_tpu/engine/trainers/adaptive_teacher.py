@@ -28,7 +28,7 @@ from ...structures.instances import Instances
 from ...solver.build import apply_gradients, stop_frozen_gradients
 from ..train_state import TeacherStudentState, ema_update
 from . import register_trainer
-from .base import _flip_enabled, apply_weak_aug
+from .base import BaseTrainer, _flip_enabled, apply_weak_aug
 from .source_free_adaptive_teacher import SourceFreeAdaptiveTeacherTrainer
 
 
@@ -57,11 +57,10 @@ class AdaptiveTeacherTrainer(SourceFreeAdaptiveTeacherTrainer):
             )
         return self._shard(self._stack_steps(per), axis=1)
 
-    def run_step_chunk(self, batches, xs=None) -> Dict[str, float]:
-        """K steps in ONE dispatch over K (source, target) batch pairs
-        (TPU.STEPS_PER_DISPATCH; `xs` = pre-staged device tree), scan via
-        BaseTrainer._dispatch_chunk."""
-        return self._dispatch_chunk(self.stage_chunk(batches) if xs is None else xs)
+    # BaseTrainer's dispatch body, NOT the SFAT parent's: AT intentionally
+    # skips SFAT's pseudo-label visualization (its pseudo stream is the
+    # separately-pulled target loader, not `batches`)
+    run_step_chunk = BaseTrainer.run_step_chunk
 
     def build_train_loader(self):
         # labeled source loader; the unlabeled target loader is built lazily

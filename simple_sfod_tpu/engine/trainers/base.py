@@ -81,11 +81,12 @@ class _ChunkFeeder:
     def __init__(self, trainer, it, chunk: int, total_steps: int, depth: int = 1):
         self._q = queue_mod.Queue(maxsize=max(1, depth))
         self._err = None
+        self._stopped = False
 
         def work():
             try:
                 done = 0
-                while done < total_steps:
+                while done < total_steps and not self._stopped:
                     k = min(chunk, total_steps - done)
                     t0 = time.perf_counter()
                     batches = [next(it) for _ in range(k)]
@@ -100,6 +101,21 @@ class _ChunkFeeder:
             target=work, daemon=True, name="sfod-chunk-feeder"
         )
         self._thread.start()
+
+    def stop(self):
+        """Join the producer before the train loop returns early (preemption)
+        or re-raises: an orphaned feeder would keep staging device uploads —
+        competing with the pre-eviction checkpoint — and then die mid
+        host->device transfer at interpreter exit (the tunnel-wedging
+        condition). Drains the queue so a producer blocked in put() wakes,
+        sees the stop flag, and exits."""
+        self._stopped = True
+        while self._thread.is_alive():
+            try:
+                self._q.get_nowait()
+            except queue_mod.Empty:
+                pass
+            self._thread.join(timeout=0.2)
 
     def get(self):
         """Next (k, batches, staged_xs_or_None, stage_time), or None at end;
@@ -357,6 +373,9 @@ class BaseTrainer:
         try:
             self._train_loop()
         except Exception:
+            feeder = getattr(self, "_feeder", None)
+            if feeder is not None:
+                feeder.stop()  # join staging before the emergency save
             step = int(self.state.step)
             print(f"[trainer] exception at iteration {step}; saving emergency checkpoint", flush=True)
             try:
@@ -387,6 +406,7 @@ class BaseTrainer:
                 self, it, chunk, self.max_iter - start,
                 depth=int(self.cfg.TPU.CHUNK_STAGE_AHEAD),
             )
+        self._feeder = feeder  # train() joins it on crash/preempt exit paths
         while i < self.max_iter:
             if feeder is not None:
                 k, batches, xs, data_time = feeder.get()
@@ -426,10 +446,14 @@ class BaseTrainer:
             self.storage.step()
             i += k
             if getattr(self, "_preempted", False):
+                if feeder is not None:
+                    feeder.stop()  # no staging competing with the checkpoint
                 name = f"model_preempt_{i - 1:07d}"
                 print(f"[trainer] preempted: saving {name} and stopping", flush=True)
                 self.checkpointer.save(name, self.state)  # durable before exit
                 return
+        if feeder is not None:
+            feeder.stop()
         self.checkpointer.save("model_final", self.state)
 
     # -- evaluation ----------------------------------------------------------

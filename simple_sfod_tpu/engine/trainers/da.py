@@ -47,12 +47,6 @@ class _DATrainerBase(BaseTrainer):
             )
         return self._shard(self._stack_steps(per), axis=1)
 
-    def run_step_chunk(self, batches, xs=None) -> "Dict[str, float]":
-        """K steps in ONE dispatch over K (source, target) batch pairs
-        (TPU.STEPS_PER_DISPATCH; `xs` = pre-staged device tree from the
-        feeder)."""
-        return self._dispatch_chunk(self.stage_chunk(batches) if xs is None else xs)
-
     def __init__(self, cfg, synthetic: bool = False):
         if cfg.DA_FASTER.ENTROPY_CONDITIONING and not self.conditional:
             raise ValueError(

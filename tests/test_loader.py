@@ -191,3 +191,14 @@ class TestMultiScaleChoice:
         )
         batch = next(iter(loader))
         assert set(map(tuple, batch["sizes"].tolist())) == {(50, 100)}
+
+    def test_multi_scale_overflow_raises(self):
+        """A sampled scale whose resized image cannot fit TPU.CANVAS must
+        fail at construction (silent cropping would corrupt the scaled GT)."""
+        import pytest
+
+        with pytest.raises(ValueError, match="beyond TPU.CANVAS"):
+            DetectionLoader(
+                self._recs(2), batch_size=2, canvas_hw=(96, 192),
+                min_size=(50, 120), gt_capacity=4, training=True, prefetch=0,
+            )
