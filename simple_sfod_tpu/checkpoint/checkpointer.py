@@ -148,7 +148,11 @@ def _overlay(base: Any, new: Any, copy: bool = False) -> Any:
         print(f"[checkpoint] skipping subtree-for-leaf mismatch (kept init)")
         return base
     base_shape = getattr(base, "shape", None)
-    new_shape = getattr(jnp.asarray(new), "shape", None)
+    # np.shape: zero-copy (checkpoint leaves are host numpy; jnp.asarray here
+    # would upload ~0.5 GB to the device once per load just to read .shape)
+    import numpy as _np
+
+    new_shape = _np.shape(new)
     if base_shape is not None and new_shape != base_shape:
         print(
             f"[checkpoint] shape mismatch {new_shape} vs target {base_shape}; "

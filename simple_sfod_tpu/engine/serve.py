@@ -114,10 +114,17 @@ class DetectionService:
         # (images, sizes are the final two args in both layouts)
         img_aval = self.exported.in_avals[-2]
         self.canvas = tuple(self.meta.get("canvas") or img_aval.shape[1:3])
-        b = self.meta.get("batch", 1)
+        if "batch" in self.meta:
+            b = self.meta.get("batch")
+        else:
+            # artifacts saved without meta (save_exported(..., meta=None)):
+            # derive the batch from the input aval like the canvas above —
+            # a symbolic leading dim means a poly-batch export
+            b0 = img_aval.shape[0]
+            b = int(b0) if isinstance(b0, int) else None
         # fixed-batch artifacts pay the full batch per call regardless —
         # micro-batching (below) turns that capacity into HTTP throughput;
-        # poly artifacts batch up to 8 at whatever K arrives
+        # poly artifacts batch up to 8, padded to powers of two (below)
         self.batch = int(b) if b else 8
         self.poly = not b
         self.min_size = int(self.meta.get("min_size", 600))
@@ -164,7 +171,15 @@ class DetectionService:
         """One device call for K<=batch prepared canvases; returns each
         request's output slot."""
         k = len(payloads)
-        b = k if self.poly else self.batch
+        if self.poly:
+            # pad to the next power of two <= batch: jit caches per shape,
+            # so raw k would compile a fresh executable for every distinct
+            # coalesced count (minutes each, stalling all queued requests);
+            # pow2 padding bounds the compile set to {1, 2, 4, 8}
+            b = min(max(1 << (k - 1).bit_length(), 1), self.batch)
+            b = max(b, k)
+        else:
+            b = self.batch
         ch, cw = self.canvas
         images = np.zeros((b, ch, cw, 3), np.uint8)
         sizes = np.zeros((b, 2), np.int32)

@@ -138,6 +138,10 @@ def _mtime(path: str) -> float:
 # of entries is plenty for one interactive session)
 _INPUTS_CACHE: Dict[tuple, tuple] = {}
 _STEM_CACHE: Dict[tuple, Dict[str, object]] = {}
+# ThreadingHTTPServer handles requests concurrently: the check-then-evict
+# sequences below race without a lock (KeyError on double-pop, unbounded
+# growth on concurrent insert)
+_CACHE_LOCK = __import__("threading").Lock()
 
 
 def _load_state_inputs(state: Dict, need_det: bool):
@@ -148,7 +152,8 @@ def _load_state_inputs(state: Dict, need_det: bool):
         names_path, state.get("img_dir", ""),
         _mtime(gt), _mtime(det or ""), _mtime(names_path),
     )
-    hit = _INPUTS_CACHE.get(key)
+    with _CACHE_LOCK:
+        hit = _INPUTS_CACHE.get(key)
     if hit is not None:
         return hit
     names = None
@@ -163,16 +168,18 @@ def _load_state_inputs(state: Dict, need_det: bool):
         names=names,
         images_dir=state.get("img_dir") or None,
     )
-    if len(_INPUTS_CACHE) >= 4:
-        _INPUTS_CACHE.pop(next(iter(_INPUTS_CACHE)))
-    _INPUTS_CACHE[key] = out
+    with _CACHE_LOCK:
+        while len(_INPUTS_CACHE) >= 4:
+            _INPUTS_CACHE.pop(next(iter(_INPUTS_CACHE)), None)
+        _INPUTS_CACHE[key] = out
     return out
 
 
 def _coco_stem_map(gt_path: str) -> Dict[str, object]:
     """stem(file_name) -> coco image id, for the image browser under coco GT."""
     key = (gt_path, _mtime(gt_path))
-    hit = _STEM_CACHE.get(key)
+    with _CACHE_LOCK:
+        hit = _STEM_CACHE.get(key)
     if hit is not None:
         return hit
     try:
@@ -185,9 +192,10 @@ def _coco_stem_map(gt_path: str) -> Dict[str, object]:
         }
     except (OSError, ValueError):
         out = {}
-    if len(_STEM_CACHE) >= 4:
-        _STEM_CACHE.pop(next(iter(_STEM_CACHE)))
-    _STEM_CACHE[key] = out
+    with _CACHE_LOCK:
+        while len(_STEM_CACHE) >= 4:
+            _STEM_CACHE.pop(next(iter(_STEM_CACHE)), None)
+        _STEM_CACHE[key] = out
     return out
 
 
@@ -425,8 +433,11 @@ class MetricsGuiHandler(BaseHTTPRequestHandler):
         except OSError:
             return self._send(_page("Not found", "<p class='err'>no such image</p>"), 404)
         ext = os.path.splitext(full)[1].lower().lstrip(".")
-        ctype = {"jpg": "jpeg", "jpeg": "jpeg", "png": "png", "bmp": "bmp"}.get(ext, "octet-stream")
-        self._send(data, ctype=f"image/{ctype}")
+        ctype = {
+            "jpg": "image/jpeg", "jpeg": "image/jpeg", "png": "image/png",
+            "bmp": "image/bmp", "tiff": "image/tiff", "tif": "image/tiff",
+        }.get(ext, "application/octet-stream")
+        self._send(data, ctype=ctype)
 
     do_GET = _route
     do_POST = _route

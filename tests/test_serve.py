@@ -187,3 +187,25 @@ def test_http_round_trip(artifact):
         assert ei.value.code == 400
     finally:
         srv.shutdown()
+
+
+def test_metaless_artifact_is_servable(artifact, tmp_path):
+    """save_exported(..., meta=None) is a public path (bench_serving writes
+    artifacts this way): the service must derive batch — like it already
+    derives canvas — from the input avals instead of assuming 1."""
+    import jax
+    import numpy as np
+
+    from simple_sfod_tpu.engine.export import export_inference, save_exported
+    from simple_sfod_tpu.engine.serve import DetectionService
+
+    _, det, variables = artifact
+    exported = export_inference(det, variables, (32, 64), batch=2)
+    path = str(tmp_path / "metaless.sfodx")
+    save_exported(exported, path, meta=None)
+    svc = DetectionService(path, max_wait_ms=0.0)
+    assert svc.batch == 2 and not svc.poly
+    assert svc.canvas == (32, 64)
+    rng = np.random.default_rng(0)
+    out = svc.predict_array(rng.integers(0, 256, (32, 64, 3), dtype=np.uint8))
+    assert out["detections"] and out["height"] == 32
