@@ -209,3 +209,29 @@ def test_metaless_artifact_is_servable(artifact, tmp_path):
     rng = np.random.default_rng(0)
     out = svc.predict_array(rng.integers(0, 256, (32, 64, 3), dtype=np.uint8))
     assert out["detections"] and out["height"] == 32
+
+
+def test_poly_artifact_service_pads_to_pow2(artifact, tmp_path):
+    """Symbolic-batch artifacts serve any K, but the service pads each call
+    to the next power of two so jit compiles at most {1,2,4,8} shapes
+    instead of one per coalesced request count."""
+    import numpy as np
+
+    from simple_sfod_tpu.engine.export import export_inference, save_exported
+    from simple_sfod_tpu.engine.serve import DetectionService
+
+    _, det, variables = artifact
+    exported = export_inference(det, variables, (32, 64), batch=None)
+    path = str(tmp_path / "poly.sfodx")
+    save_exported(exported, path, meta=None)
+    svc = DetectionService(path, max_wait_ms=0.0)
+    assert svc.poly and svc.batch == 8  # symbolic dim detected without meta
+    rng = np.random.default_rng(1)
+    img = rng.integers(0, 256, (32, 64, 3), dtype=np.uint8)
+    out = svc.predict_array(img)  # k=1 -> b=1
+    assert out["height"] == 32
+    payloads = [svc._prepare(img) for _ in range(3)]  # k=3 -> padded b=4
+    outs = svc._run_batch(payloads)
+    assert len(outs) == 3
+    for o, ref in zip(outs[1:], outs[:-1]):
+        np.testing.assert_allclose(o["boxes"], ref["boxes"], rtol=1e-5)
