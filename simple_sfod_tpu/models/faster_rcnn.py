@@ -177,8 +177,8 @@ class DetectorConfig:
 
 RPN_BOX_TRANSFORM = BoxTransform((1.0, 1.0, 1.0, 1.0))
 ROI_BOX_TRANSFORM = BoxTransform((10.0, 10.0, 5.0, 5.0))
-RPN_MATCHER = MatcherConfig((0.3, 0.7), (0, -1, 1), True)
-ROI_MATCHER = MatcherConfig((0.5,), (0, 1), False)
+# single source of truth for the d2 matching thresholds
+from ..ops.matcher import RPN_MATCHER, ROI_MATCHER  # noqa: E402
 
 
 class FasterRCNN(nn.Module):
@@ -350,6 +350,11 @@ def propose(
     post_k = cfg.rpn_post_nms_topk_train if training else cfg.rpn_post_nms_topk_test
     if isinstance(anchors, (tuple, list)):
         return _propose_fpn(cfg, anchors, rpn_out, image_sizes, pre_k, post_k)
+    assert rpn_out.objectness.shape[1] == anchors.shape[0], (
+        f"RPN prediction count {rpn_out.objectness.shape[1]} != anchor count "
+        f"{anchors.shape[0]} — feature/anchor grid mismatch (under jit, "
+        "jnp.take would silently clip the misaligned indices)"
+    )
     pre_k = min(pre_k, anchors.shape[0])
     post_k = min(post_k, pre_k)
 
@@ -540,6 +545,12 @@ def pool_rois(cfg: DetectorConfig, feature, boxes: jnp.ndarray) -> jnp.ndarray:
     b, r = boxes.shape[:2]
     if isinstance(feature, dict):
         levels = [int(name[1:]) for name in cfg.roi_in_features]
+        assert levels == list(range(min(levels), max(levels) + 1)), (
+            f"ROI_HEADS.IN_FEATURES levels {levels} must be contiguous: "
+            "assign_boxes_to_levels clamps into [min, max], so a gap level "
+            "would zero-pool every box assigned to it (d2's ROIPooler "
+            "asserts the same)"
+        )
         lvl = assign_boxes_to_levels(boxes, min(levels), max(levels))  # [B, R]
         pooled = None
         for name, l in zip(cfg.roi_in_features, levels):

@@ -46,4 +46,6 @@ def mc_dropout_box_outputs(
     b, r = proposals.boxes.shape[:2]
     mean = probs.mean(axis=0).reshape(b, r, -1)
     std = probs.std(axis=0).reshape(b, r, -1)
-    return mean, std, proposals.boxes
+    # valid distinguishes NMS survivors from fixed-capacity padding — padded
+    # rows still emit (often confidently wrong) softmax stats
+    return mean, std, proposals.boxes, proposals.valid

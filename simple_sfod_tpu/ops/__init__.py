@@ -1,7 +1,9 @@
 from .anchors import generate_anchors, generate_cell_anchors
 from .matcher import match_boxes, MatcherConfig
 from .sampler import subsample_labels
-from .nms import nms_mask, batched_class_nms
+# nms_mask_matrix is the production NMS (the tiled nms_mask variant
+# compiles pathologically on the real TPU backend — BENCH_NOTES)
+from .nms import nms_mask, nms_mask_matrix, batched_class_nms
 from .roi_align import roi_align
 
 __all__ = [
@@ -11,6 +13,7 @@ __all__ = [
     "MatcherConfig",
     "subsample_labels",
     "nms_mask",
+    "nms_mask_matrix",
     "batched_class_nms",
     "roi_align",
 ]

@@ -22,7 +22,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from ..structures.boxes import pairwise_iou
+from ..structures.boxes import pairwise_iou, nonempty
 
 
 def _round_up(x: int, m: int) -> int:
@@ -182,7 +182,7 @@ def nms_mask_scan(
     """
     n = boxes.shape[0]
     max_keep = n if max_keep is None else min(max_keep, n)
-    live = valid & nonempty_guard(boxes)
+    live = valid & nonempty(boxes)
     scores = jnp.where(live, scores, -jnp.inf)
 
     def step(carry, _):
@@ -202,11 +202,6 @@ def nms_mask_scan(
     )
     return keep & valid
 
-
-def nonempty_guard(boxes):
-    w = boxes[..., 2] - boxes[..., 0]
-    h = boxes[..., 3] - boxes[..., 1]
-    return (w > 0) & (h > 0)
 
 
 def _iou_one_vs_all(box: jnp.ndarray, boxes: jnp.ndarray) -> jnp.ndarray:

@@ -68,19 +68,25 @@ def roi_align(
     out = output_size
     dtype = features.dtype if features.dtype in (jnp.float32, jnp.bfloat16) else jnp.float32
 
+    # Coordinates and bilinear weights are ALWAYS built in f32: bf16's 8-bit
+    # mantissa snaps a coordinate near 1000 to 4-px multiples, pooling large
+    # ROIs from visibly wrong locations. Only the matmul OPERANDS are cast
+    # to the compute dtype (the einsums accumulate in f32 regardless).
     offset = 0.5 if aligned else 0.0
-    x1 = rois[:, 0].astype(dtype) * spatial_scale - offset
-    y1 = rois[:, 1].astype(dtype) * spatial_scale - offset
-    x2 = rois[:, 2].astype(dtype) * spatial_scale - offset
-    y2 = rois[:, 3].astype(dtype) * spatial_scale - offset
+    x1 = rois[:, 0].astype(jnp.float32) * spatial_scale - offset
+    y1 = rois[:, 1].astype(jnp.float32) * spatial_scale - offset
+    x2 = rois[:, 2].astype(jnp.float32) * spatial_scale - offset
+    y2 = rois[:, 3].astype(jnp.float32) * spatial_scale - offset
     roi_w = x2 - x1
     roi_h = y2 - y1
     if not aligned:
         roi_w = jnp.maximum(roi_w, 1.0)
         roi_h = jnp.maximum(roi_h, 1.0)
 
-    wy = _axis_weights(y1, roi_h / out, out, sampling_ratio, h, dtype)  # [R, P, H]
-    wx = _axis_weights(x1, roi_w / out, out, sampling_ratio, w, dtype)  # [R, P, W]
+    wy = _axis_weights(y1, roi_h / out, out, sampling_ratio, h, jnp.float32)
+    wx = _axis_weights(x1, roi_w / out, out, sampling_ratio, w, jnp.float32)
+    wy = wy.astype(dtype)  # [R, P, H]
+    wx = wx.astype(dtype)  # [R, P, W]
 
     f = features.astype(dtype)
     # contract the wider spatial axis first to keep the intermediate small

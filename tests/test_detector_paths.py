@@ -63,10 +63,11 @@ class TestMCDropout:
     def test_samples_differ_and_average(self, small_det):
         det, v = small_det
         images, sizes = batch_of_ones()
-        mean, std, boxes = jax.jit(
+        mean, std, boxes, valid = jax.jit(
             lambda v, i, s: mc_dropout_box_outputs(det, v, i, s, jax.random.key(1), 4)
         )(v, images, sizes)
         assert mean.shape[-1] == 4  # C+1
+        assert valid.shape == boxes.shape[:2] and valid.dtype == bool
         assert bool(jnp.all(std >= 0))
         assert float(std.max()) > 0  # dropout produced variance
         np.testing.assert_allclose(np.asarray(mean.sum(-1)), 1.0, atol=1e-4)

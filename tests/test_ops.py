@@ -214,3 +214,27 @@ class TestROIAlign:
         rois = jnp.asarray([[8.0, 8.0, 60.0, 60.0]])
         out = roi_align(feat, rois, 1.0 / 8, 7, 2, True)
         np.testing.assert_allclose(np.asarray(out), 1.0, rtol=1e-5)
+
+
+class TestROIAlignBf16Coords:
+    def test_large_coordinates_not_snapped_in_bf16(self):
+        """Bilinear positions/weights must be built in f32 even for bf16
+        features: bf16 snaps a coordinate near 1216 to ~8px multiples, so
+        two ROIs 4px apart at the canvas's right edge would pool IDENTICAL
+        (wrong) features. Regression for the f32-coordinate fix."""
+        import jax.numpy as jnp
+
+        from simple_sfod_tpu.ops.roi_align import roi_align
+
+        rng = np.random.default_rng(11)
+        feats = jnp.asarray(rng.standard_normal((40, 80, 8)), jnp.bfloat16)
+        roi_a = jnp.asarray([[1140.0, 300.0, 1204.0, 364.0]])
+        roi_b = roi_a + 4.0  # 4 image px = 0.25 feature px at stride 16
+        a = roi_align(feats, roi_a, 1.0 / 16, 7, 2, True)
+        b = roi_align(feats, roi_b, 1.0 / 16, 7, 2, True)
+        assert float(jnp.abs(a - b).astype(jnp.float32).max()) > 0.0
+        # and the bf16 pooling tracks the f32 pooling to bf16 resolution
+        f32 = roi_align(feats.astype(jnp.float32), roi_a, 1.0 / 16, 7, 2, True)
+        err = float(jnp.abs(a.astype(jnp.float32) - f32).max())
+        scale = float(jnp.abs(f32).max())
+        assert err <= 0.05 * max(scale, 1e-6), (err, scale)
