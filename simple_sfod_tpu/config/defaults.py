@@ -132,6 +132,9 @@ def get_cfg() -> CfgNode:
     # round 2) — so it stays off by default.
     c.SOLVER.FUSED = False
     c.SOLVER.WEIGHT_DECAY = 0.0001
+    # d2 default: norm-layer (BN/GN) scale+bias decay at this rate instead
+    # of WEIGHT_DECAY — 0.0 exempts them (solver/build.py norm_param_mask)
+    c.SOLVER.WEIGHT_DECAY_NORM = 0.0
     c.SOLVER.GAMMA = 0.1
     c.SOLVER.STEPS = (30000,)
     c.SOLVER.FACTOR_LIST = (1,)

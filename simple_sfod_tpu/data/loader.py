@@ -271,10 +271,18 @@ class DetectionLoader:
                     idx.append(idx[-1])
                 yield idx
             return
+        # d2 TrainingSampler semantics: one INFINITE index stream of
+        # concatenated epoch permutations, chunked into batches — batches
+        # span epoch boundaries, so a dataset smaller than the batch size
+        # still yields (the old per-epoch slicing dropped the tail and spun
+        # forever when n < batch_size). Streams are unchanged whenever
+        # batch_size divides n (every existing fixture).
+        pool: List[int] = []
         while True:
-            perm = self.rng.permutation(n)
-            for s in range(0, n - self.batch_size + 1, self.batch_size):
-                yield perm[s : s + self.batch_size].tolist()
+            while len(pool) < self.batch_size:
+                pool.extend(self.rng.permutation(n).tolist())
+            yield pool[: self.batch_size]
+            del pool[: self.batch_size]
 
     def __iter__(self) -> Iterator[ArrayBatch]:
         stream = self._index_stream()
@@ -285,21 +293,42 @@ class DetectionLoader:
 
         q: queue_mod.Queue = queue_mod.Queue(maxsize=self.prefetch)
         stop = object()
+        abandoned = threading.Event()
 
         def worker():
             try:
                 for idx in stream:
-                    q.put(self._make_batch([self.records[i] for i in idx]))
+                    batch = self._make_batch([self.records[i] for i in idx])
+                    while not abandoned.is_set():
+                        try:
+                            q.put(batch, timeout=0.5)
+                            break
+                        except queue_mod.Full:
+                            continue
+                    if abandoned.is_set():
+                        return
             finally:
                 q.put(stop)
 
         t = threading.Thread(target=worker, daemon=True)
         t.start()
-        while True:
-            item = q.get()
-            if item is stop:
-                return
-            yield item
+        try:
+            while True:
+                item = q.get()
+                if item is stop:
+                    return
+                yield item
+        finally:
+            # consumer abandoned the iterator (e.g. AdaBN's max_batches
+            # break on an infinite training loader): unblock and retire the
+            # worker instead of leaking a thread pinned on a full queue of
+            # canvas batches for the life of the process
+            abandoned.set()
+            try:
+                while True:
+                    q.get_nowait()
+            except queue_mod.Empty:
+                pass
 
 
 def gt_instances(batch: ArrayBatch, host: bool = False) -> Instances:

@@ -11,6 +11,16 @@ mixup.py). On TPU both become pure batched functions inside the jitted step:
 
   mixup: 0.5/0.5 blend of batch neighbours with GT concatenation
   (mixup.py ~:40, the reference's fixed-lambda blend).
+
+
+KNOWN DEVIATION (static-canvas geometry): tiles are cropped from the PADDED
+canvases, so when images do not fill TPU.CANVAS (small multi-scale samples,
+outlier aspect ratios) a tile's center-facing corner can include the zero
+padding — regions the reference's mosaic (compositing raw unpadded images)
+would fill with pixels. With the standard configs (canvas sized to the
+single training scale, e.g. 600->608x1216) images fill the canvas to within
+a few pixels and the effect is nil; multi-scale users should size mosaics'
+canvas to the sampled scale or accept the padding bands.
 """
 
 from __future__ import annotations

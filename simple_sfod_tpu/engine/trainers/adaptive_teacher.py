@@ -167,7 +167,10 @@ class AdaptiveTeacherTrainer(SourceFreeAdaptiveTeacherTrainer):
                     loss_t = jnp.mean(sigmoid_ce(out_t, jnp.ones_like(out_t)))
                     metrics["loss_DC_img_s"] = loss_s
                     metrics["loss_DC_img_t"] = loss_t
-                    total = total + dis_w * (loss_s + loss_t)
+                    # the reference's burn-in branch is supervised-ONLY
+                    # (adaptive_teacher.py:201-213); discriminators join in
+                    # the joint phase, so they share the unsup gate
+                    total = total + unsup_gate * dis_w * (loss_s + loss_t)
                 if ins_dc_enabled:
                     # instance-level discriminator (reference AT meta_arch
                     # :157-203); the AT trainer's loss weighting leaves
@@ -204,7 +207,7 @@ class AdaptiveTeacherTrainer(SourceFreeAdaptiveTeacherTrainer):
                     ) / jnp.maximum(jnp.sum(vt), 1.0)
                     metrics["loss_DC_ins_s"] = loss_ins_s
                     metrics["loss_DC_ins_t"] = loss_ins_t
-                    total = total + loss_ins_s + loss_ins_t
+                    total = total + unsup_gate * (loss_ins_s + loss_ins_t)
                 return total, (metrics, new_stats)
 
             (total, (metrics, new_stats)), grads = jax.value_and_grad(loss_fn, has_aux=True)(

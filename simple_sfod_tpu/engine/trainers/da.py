@@ -109,17 +109,34 @@ class _DATrainerBase(BaseTrainer):
         da_ins_head = self.da_ins_head
         num_ins = 64
 
-        def dc_losses(params, variables, images, sizes, domain_label, rng):
-            feature = det.module.apply(
-                variables, images, False, method=type(det.module).features
+        def dc_losses(params, variables, feature, canvas_hw, sizes, domain_label, rng):
+            """One domain's discriminator losses on a PRECOMPUTED train-mode
+            backbone feature — the reference computes each domain's features
+            ONCE and feeds supervised + DC branches (da_faster_rcnn.py
+            :135-220); re-forwarding here was both a second full backbone
+            pass per domain and eval-mode BN the reference never uses.
+
+            Reference semantics (da_faster_rcnn.py:228-273,
+            cda_faster_rcnn.py:248-300): image BCE behind GRL(-w_img);
+            instance BCE on pooled box-head features behind GRL(-w_ins)
+            (CDA: feature (x) softmax multilinear map, optional CDAN entropy
+            conditioning); consistency = L1 between the ROI-POOLED
+            image-probability MAP (aligned over each proposal and averaged —
+            not the image mean) and the instance probabilities, each feature
+            path entering through a POSITIVE gradient scalar w_cst*w_{img,ins}
+            — DC_CONSISTENCY_WEIGHT scales gradients, not the loss value.
+            Static-shape note: the reference pools every post-NMS proposal;
+            the top num_ins=64 by score bound the DC/consistency batch."""
+            b = feature.shape[0]
+            df = dc_image_feature(det_cfg, feature)
+            img_out = da_img_head.apply(
+                {"params": params["da_img"]}, gradient_scalar(df, -w_img)
             )
-            # image-level
-            rev = gradient_scalar(dc_image_feature(det_cfg, feature), -w_img)
-            img_out = da_img_head.apply({"params": params["da_img"]}, rev)
             img_tgt = jnp.full_like(img_out, domain_label)
             loss_img = jnp.mean(sigmoid_ce(img_out, img_tgt))
-            # instance-level: pooled box-head features of top proposals
-            anchors = anchors_for(det_cfg, images.shape[1:3])
+
+            # top-k proposals -> pooled box-head features
+            anchors = anchors_for(det_cfg, canvas_hw)
             rpn_out = det._rpn(variables, feature)
             proposals = propose(det_cfg, anchors, rpn_out, sizes, training=True)
             boxes = jax.lax.stop_gradient(proposals.boxes[:, :num_ins])
@@ -127,7 +144,7 @@ class _DATrainerBase(BaseTrainer):
             feats = det.module.apply(
                 variables,
                 pooled,
-                False,
+                False,  # box head has no BN; dropout is the MCD extra (0.0)
                 method=lambda m, p, t: m.box_head(p, train=t),
             )
             probs = None
@@ -153,13 +170,25 @@ class _DATrainerBase(BaseTrainer):
                 w = w / jnp.mean(w)
                 ins_bce = ins_bce * w.reshape(ins_out.shape)
             loss_ins = jnp.mean(ins_bce)
-            # image<->instance consistency (da_faster_rcnn.py:253): each
-            # instance's domain prob is pulled toward ITS image's mean
-            # image-level prob
-            b = images.shape[0]
-            img_prob = jax.nn.sigmoid(img_out).mean(axis=(1, 2, 3))  # [B]
-            ins_prob = jax.nn.sigmoid(ins_out).reshape(b, num_ins)
-            loss_cst = jnp.mean(jnp.abs(ins_prob - img_prob[:, None]))
+
+            # consistency (reference :253-273): the image head re-runs on the
+            # +w_cst*w_img-scaled path, its sigmoid PROBABILITY MAP is
+            # ROI-aligned over the same boxes and averaged (avg_pool PxP),
+            # and pulled toward the instance probabilities by L1
+            img_out_c = da_img_head.apply(
+                {"params": params["da_img"]}, gradient_scalar(df, w_cst * w_img)
+            )
+            prob_map = jax.nn.sigmoid(img_out_c)  # [B, h, w, 1], feature stride
+            roi_img_prob = pool_rois(det_cfg, prob_map, boxes)
+            roi_img_prob = roi_img_prob.mean(axis=(1, 2, 3)).reshape(b, num_ins)
+            ins_out_c = da_ins_head.apply(
+                {"params": params["da_ins"]},
+                gradient_scalar(feats, w_cst * w_ins),
+                train=True,
+                rngs={"dropout": jax.random.fold_in(rng, 1)},
+            )
+            ins_prob = jax.nn.sigmoid(ins_out_c).reshape(b, num_ins)
+            loss_cst = jnp.mean(jnp.abs(roi_img_prob - ins_prob))
             return loss_img, loss_ins, loss_cst
 
         def step_fn(state, src_images, src_sizes, src_gt: Instances, tgt_images, tgt_sizes, rng):
@@ -172,19 +201,33 @@ class _DATrainerBase(BaseTrainer):
             def loss_fn(params):
                 params = stop_frozen_gradients(params, freeze_at)
                 variables = {"params": params["det"], "batch_stats": state.batch_stats}
-                sup_total, metrics, new_stats = det.supervised_losses(
-                    variables, DetectionBatch(src_images, src_sizes, src_gt), k_sup
+                # ONE train-mode backbone pass per domain, features shared by
+                # the supervised and DC branches; BN running stats nudged by
+                # BOTH passes in source-then-target order (reference forward)
+                feat_src, mutated = det._features(variables, src_images, True, mutable=True)
+                stats1 = mutated.get("batch_stats", {})
+                sup_total, metrics = det.losses_from_feature(
+                    variables, feat_src, DetectionBatch(src_images, src_sizes, src_gt), k_sup
                 )
-                li_s, ln_s, lc_s = dc_losses(params, variables, src_images, src_sizes, 0.0, k_dc_s)
-                li_t, ln_t, lc_t = dc_losses(params, variables, tgt_images, tgt_sizes, 1.0, k_dc_t)
-                metrics["loss_DC_img"] = li_s + li_t
-                metrics["loss_DC_ins"] = ln_s + ln_t
-                metrics["loss_consistency"] = lc_s + lc_t
+                variables_t = {"params": params["det"], "batch_stats": stats1}
+                feat_tgt, mutated_t = det._features(variables_t, tgt_images, True, mutable=True)
+                new_stats = mutated_t.get("batch_stats", {})
+                li_s, ln_s, lc_s = dc_losses(
+                    params, variables, feat_src, tuple(src_images.shape[1:3]), src_sizes, 0.0, k_dc_s
+                )
+                li_t, ln_t, lc_t = dc_losses(
+                    params, variables, feat_tgt, tuple(tgt_images.shape[1:3]), tgt_sizes, 1.0, k_dc_t
+                )
+                # reference loss_dict entries ARE the 0.5-halved sums, each
+                # entering the total at weight 1 (da_faster_rcnn.py:222-224)
+                metrics["loss_DC_img"] = 0.5 * (li_s + li_t)
+                metrics["loss_DC_ins"] = 0.5 * (ln_s + ln_t)
+                metrics["loss_consistency"] = 0.5 * (lc_s + lc_t)
                 total = (
                     sup_total
-                    + (li_s + li_t)
-                    + (ln_s + ln_t)
-                    + w_cst * (lc_s + lc_t)
+                    + metrics["loss_DC_img"]
+                    + metrics["loss_DC_ins"]
+                    + metrics["loss_consistency"]
                 )
                 return total, (metrics, new_stats)
 
@@ -241,6 +284,20 @@ class _DATrainerBase(BaseTrainer):
                 pipeline_depth=self.cfg.TPU.EVAL_PIPELINE_DEPTH,
             )
             results[name] = res
+            ap_line = {
+                k: res.get(k) for k in ("AP", "AP50", "VOC_AP50", "F1")
+                if res.get(k) is not None
+            }
+            print(f"[eval] {name}: {ap_line}", flush=True)
+        # same persisted summary as BaseTrainer.test — the workflow driver
+        # and offline tooling read eval_results.json from every stage
+        import json
+        import os
+
+        from .base import _jsonable
+
+        with open(os.path.join(self.output_dir, "eval_results.json"), "w") as f:
+            json.dump(_jsonable(results), f, indent=2)
         return results
 
 

@@ -589,10 +589,14 @@ class SourceFreeAdaptiveTeacherTrainer(BaseTrainer):
                     pipeline_depth=self.cfg.TPU.EVAL_PIPELINE_DEPTH,
                 )
                 results[f"{name}/{tag}"] = res
-                print(
-                    f"[eval:{tag}] {name}: AP50={res.get('AP50'):.2f} AP={res.get('AP'):.2f}",
-                    flush=True,
-                )
+                # None-safe: VOC-family evaluator sets carry VOC_AP50/F1,
+                # not AP/AP50 — formatting None crashed periodic eval AFTER
+                # the full inference pass
+                ap_line = {
+                    k: res.get(k) for k in ("AP", "AP50", "VOC_AP50", "F1")
+                    if res.get(k) is not None
+                }
+                print(f"[eval:{tag}] {name}: {ap_line}", flush=True)
         # same persisted summary as BaseTrainer.test (the workflow driver
         # and offline tooling read eval_results.json from every stage)
         import json

@@ -75,6 +75,12 @@ def auto_scale_workers(cfg, new_world_size: int):
     cfg = cfg.clone()
     cfg.defrost()
     cfg.SOLVER.BASE_LR = cfg.SOLVER.BASE_LR * scale
+    # d2 scales the GLOBAL batch with the world size (per-worker batch
+    # constant) — LR/iteration scaling without it is not the linear rule
+    cfg.SOLVER.IMS_PER_BATCH = int(round(cfg.SOLVER.IMS_PER_BATCH * scale))
+    cfg.SOLVER.IMS_PER_BATCH_TARGET = int(
+        round(cfg.SOLVER.IMS_PER_BATCH_TARGET * scale)
+    )
     cfg.SOLVER.MAX_ITER = int(round(cfg.SOLVER.MAX_ITER / scale))
     cfg.SOLVER.WARMUP_ITERS = int(round(cfg.SOLVER.WARMUP_ITERS / scale))
     cfg.SOLVER.STEPS = tuple(int(round(s / scale)) for s in cfg.SOLVER.STEPS)
@@ -105,17 +111,50 @@ class FusedSGD(NamedTuple):
     apply: callable  # fused: (grads, state, params) -> (new_params, state)
 
 
-def fused_sgd(schedule, momentum: float, weight_decay: float, clip_value=None) -> FusedSGD:
+_NORM_NAME = re.compile(r"^bn\d+$|norm")
+
+
+def norm_param_mask(params):
+    """Pytree of bools: True for normalization-layer leaves (BN/GN
+    scale+bias — module names `bn<i>`, `*norm*`). detectron2's
+    get_default_optimizer_params gives these SOLVER.WEIGHT_DECAY_NORM
+    (default 0.0) instead of WEIGHT_DECAY, and the reference inherits that
+    through DefaultTrainer.build_optimizer — decaying BN affine params
+    would steadily shrink them relative to the reference."""
+
+    def is_norm(path) -> bool:
+        return any(
+            _NORM_NAME.search(str(getattr(p, "key", p))) for p in path
+        )
+
+    return jax.tree_util.tree_map_with_path(lambda path, _: is_norm(path), params)
+
+
+def _non_norm_mask(params):
+    return jax.tree.map(lambda f: not f, norm_param_mask(params))
+
+
+def fused_sgd(schedule, momentum: float, weight_decay: float, clip_value=None,
+              weight_decay_norm: float = None) -> FusedSGD:
     def init(params):
         flat, _ = ravel_pytree(params)
         return {"mu": jnp.zeros_like(flat), "count": jnp.zeros((), jnp.int32)}
+
+    def _decay_vec(params, pflat):
+        if weight_decay_norm is None:  # uniform decay (raw-constructor mode)
+            return weight_decay
+        full = jax.tree.map(
+            lambda p, f: jnp.full(p.shape, f, bool), params, norm_param_mask(params)
+        )
+        mflat, _ = ravel_pytree(full)
+        return jnp.where(mflat, weight_decay_norm, weight_decay)
 
     def _flat_update(grads, state, params):
         pflat, unravel = ravel_pytree(params)
         gflat, _ = ravel_pytree(grads)
         if clip_value is not None:
             gflat = jnp.clip(gflat, -clip_value, clip_value)
-        gflat = gflat + weight_decay * pflat
+        gflat = gflat + _decay_vec(params, pflat) * pflat
         mu = state["mu"] * momentum + gflat
         lr = schedule(state["count"])
         new_state = {"mu": mu, "count": state["count"] + 1}
@@ -286,12 +325,17 @@ def build_optimizer(cfg) -> optax.GradientTransformation:
                 clip_value=cfg.SOLVER.CLIP_GRADIENTS.CLIP_VALUE
                 if cfg.SOLVER.CLIP_GRADIENTS.ENABLED
                 else None,
+                weight_decay_norm=float(cfg.SOLVER.WEIGHT_DECAY_NORM),
             ),
             freeze_at,
         )
     chain = []
     if cfg.SOLVER.CLIP_GRADIENTS.ENABLED:
         chain.append(optax.clip(cfg.SOLVER.CLIP_GRADIENTS.CLIP_VALUE))
-    chain.append(optax.add_decayed_weights(cfg.SOLVER.WEIGHT_DECAY))
+    # d2 semantics: norm-layer params decay at WEIGHT_DECAY_NORM (default 0)
+    wd_norm = float(cfg.SOLVER.WEIGHT_DECAY_NORM)
+    chain.append(optax.add_decayed_weights(cfg.SOLVER.WEIGHT_DECAY, mask=_non_norm_mask))
+    if wd_norm:
+        chain.append(optax.add_decayed_weights(wd_norm, mask=norm_param_mask))
     chain.append(optax.sgd(schedule, momentum=cfg.SOLVER.MOMENTUM))
     return with_frozen(optax.chain(*chain), freeze_at)

@@ -202,3 +202,42 @@ class TestMultiScaleChoice:
                 self._recs(2), batch_size=2, canvas_hw=(96, 192),
                 min_size=(50, 120), gt_capacity=4, training=True, prefetch=0,
             )
+
+
+class TestSmallDatasetAndAbandonment:
+    def test_training_smaller_than_batch_yields(self):
+        """d2 TrainingSampler semantics: the infinite index stream spans
+        epoch permutations, so n < batch_size still yields full batches
+        (the old per-epoch slicing spun forever)."""
+        recs = records_with_image(64, 128)
+        loader = DetectionLoader(
+            recs, batch_size=3, canvas_hw=(64, 128), min_size=64,
+            gt_capacity=4, training=True, prefetch=0,
+        )
+        it = iter(loader)
+        for _ in range(3):
+            batch = next(it)
+            assert batch["images"].shape[0] == 3
+
+    def test_abandoned_prefetch_iterator_retires_worker(self):
+        """Breaking out of a prefetching loader (AdaBN's max_batches) must
+        not leak a worker thread pinned on a full queue."""
+        import threading
+        import time
+
+        recs = [dict(records_with_image(64, 128)[0], image_id=i) for i in range(4)]
+        before = {t.name for t in threading.enumerate()}
+        it = iter(DetectionLoader(
+            recs, batch_size=2, canvas_hw=(64, 128), min_size=64,
+            gt_capacity=4, training=True, prefetch=2,
+        ))
+        next(it)
+        it.close()  # GeneratorExit -> finally -> abandoned.set + drain
+        deadline = time.time() + 10
+        while time.time() < deadline:
+            leaked = {t.name for t in threading.enumerate()} - before
+            if not any("Thread" in n or "worker" in n.lower() for n in leaked):
+                break
+            time.sleep(0.1)
+        leaked = {t.name for t in threading.enumerate()} - before
+        assert not leaked, leaked

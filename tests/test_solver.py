@@ -248,3 +248,63 @@ class TestStopFrozenGradients:
         tr = build_trainer(cfg, synthetic=True)
         tr.run_step(one_batch(cfg, tr.build_train_loader()))
         assert calls and calls[0] == int(cfg.MODEL.BACKBONE.FREEZE_AT)
+
+
+class TestWeightDecayNorm:
+    """SOLVER.WEIGHT_DECAY_NORM (d2 default 0.0): norm-layer scale/bias are
+    exempt from weight decay — the reference inherits this via d2's
+    get_default_optimizer_params; decaying BN affine params would steadily
+    shrink them relative to the reference."""
+
+    def _params(self):
+        return {
+            "backbone": {
+                "conv0": {"kernel": jnp.ones((2, 2)), "bias": jnp.ones((2,))},
+                "bn0": {"scale": jnp.ones((2,)), "bias": jnp.ones((2,))},
+                "stem_norm": {"scale": jnp.ones((2,))},
+            },
+            "rpn_head": {"conv": {"kernel": jnp.ones((2, 2))}},
+        }
+
+    @pytest.mark.parametrize("fused", [False, True])
+    def test_norm_leaves_not_decayed(self, fused):
+        from simple_sfod_tpu.config import get_cfg
+        from simple_sfod_tpu.solver.build import build_optimizer
+
+        cfg = get_cfg()
+        cfg.SOLVER.FUSED = fused
+        cfg.SOLVER.WEIGHT_DECAY = 1e-2
+        cfg.SOLVER.WARMUP_ITERS = 0
+        cfg.MODEL.BACKBONE.FREEZE_AT = 0
+        opt = build_optimizer(cfg)
+        params = self._params()
+        state = opt.init(params)
+        zero_grads = jax.tree.map(jnp.zeros_like, params)
+        new_params, _ = apply_gradients(opt, zero_grads, state, params)
+        bb, nbb = new_params["backbone"], params["backbone"]
+        # zero grads: the ONLY update source is weight decay
+        np.testing.assert_array_equal(bb["bn0"]["scale"], nbb["bn0"]["scale"])
+        np.testing.assert_array_equal(bb["bn0"]["bias"], nbb["bn0"]["bias"])
+        np.testing.assert_array_equal(bb["stem_norm"]["scale"], nbb["stem_norm"]["scale"])
+        assert float(jnp.abs(bb["conv0"]["kernel"] - nbb["conv0"]["kernel"]).max()) > 0
+        assert float(jnp.abs(new_params["rpn_head"]["conv"]["kernel"] - 1.0).max()) > 0
+        # conv BIAS still decays (d2 WEIGHT_DECAY_BIAS defaults to WEIGHT_DECAY)
+        assert float(jnp.abs(bb["conv0"]["bias"] - 1.0).max()) > 0
+
+    def test_weight_decay_norm_nonzero_applies(self):
+        from simple_sfod_tpu.config import get_cfg
+        from simple_sfod_tpu.solver.build import build_optimizer
+
+        cfg = get_cfg()
+        cfg.SOLVER.WEIGHT_DECAY = 0.0
+        cfg.SOLVER.WEIGHT_DECAY_NORM = 1e-2
+        cfg.SOLVER.WARMUP_ITERS = 0
+        cfg.MODEL.BACKBONE.FREEZE_AT = 0
+        opt = build_optimizer(cfg)
+        params = self._params()
+        new_params, _ = apply_gradients(
+            opt, jax.tree.map(jnp.zeros_like, params), opt.init(params), params
+        )
+        bb = new_params["backbone"]
+        assert float(jnp.abs(bb["bn0"]["scale"] - 1.0).max()) > 0
+        np.testing.assert_array_equal(bb["conv0"]["kernel"], params["backbone"]["conv0"]["kernel"])

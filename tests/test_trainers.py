@@ -532,6 +532,9 @@ class TestAutoScale:
         assert out.SOLVER.MAX_ITER == 250
         assert out.SOLVER.STEPS == (150,)
         assert out.SOLVER.WARMUP_ITERS == 25
+        # d2 scales the GLOBAL batch too (per-worker batch constant)
+        assert out.SOLVER.IMS_PER_BATCH == cfg.SOLVER.IMS_PER_BATCH * 4
+        assert out.SOLVER.IMS_PER_BATCH_TARGET == cfg.SOLVER.IMS_PER_BATCH_TARGET * 4
         # no-op when unset
         cfg2 = tiny_cfg("base")
         assert auto_scale_workers(cfg2, 4) is cfg2
@@ -587,3 +590,40 @@ class TestPreemption:
         tr2.train()
         assert int(tr2.state.step) == 6
         assert tr2.checkpointer.last_checkpoint() == "model_final"
+
+
+class TestATBurnInSupervisedOnly:
+    def test_dc_losses_gated_off_during_burn_in(self):
+        """The reference's burn-in branch is supervised-only (reference
+        adaptive_teacher.py:201-213): with DOMAIN_CLASSIFIER enabled, a
+        burn-in step must leave the DETECTOR on the same trajectory as a
+        DC-disabled run (DC losses are logged but gated with the unsup
+        term until the joint phase)."""
+        kw = {
+            "MODEL.BACKBONE.NAME": "build_tiny_backbone",
+            "MODEL.RPN.IN_FEATURES": ("tiny1",),
+            "MODEL.ROI_HEADS.IN_FEATURES": ("tiny1",),
+        }
+        cfg = tiny_cfg("adaptive_teacher", **kw)
+        cfg.SEMISUPNET.BURN_UP_STEP = 5
+        cfg.SEMISUPNET.DIS_TYPE = "tiny1"
+        cfg.DOMAIN_CLASSIFIER.ENABLED = True
+        cfg.DOMAIN_CLASSIFIER.INSTANCE = True
+        tr = build_trainer(cfg, synthetic=True)
+        batch = one_batch(tr.cfg, tr.build_train_loader())
+        m = tr.run_step(batch)
+        assert np.isfinite(float(m["loss_DC_img_s"]))  # logged
+
+        cfg2 = tiny_cfg("adaptive_teacher", **kw)
+        cfg2.SEMISUPNET.BURN_UP_STEP = 5
+        cfg2.SEMISUPNET.DIS_TYPE = "tiny1"
+        tr2 = build_trainer(cfg2, synthetic=True)
+        m2 = tr2.run_step(batch)
+        np.testing.assert_allclose(
+            float(m["total_loss"]), float(m2["total_loss"]), rtol=1e-6
+        )
+        jax.tree.map(
+            lambda a, b: np.testing.assert_allclose(a, b, rtol=1e-6, atol=1e-7),
+            jax.device_get(tr.state.params["det"]),
+            jax.device_get(tr2.state.params["det"]),
+        )

@@ -334,8 +334,21 @@ class TorchLockstepTrainer:
         self.model = model
         self.cfg = cfg
         self.anchors = torch.from_numpy(np.asarray(anchors, np.float32).copy())
+        # d2's get_default_optimizer_params: norm-layer params take
+        # SOLVER.WEIGHT_DECAY_NORM (default 0.0), everything else
+        # WEIGHT_DECAY — mirrored by the JAX side's norm_param_mask
+        norm_params, other_params = [], []
+        for m in model.modules():
+            if isinstance(m, (torch.nn.BatchNorm1d, torch.nn.BatchNorm2d)):
+                norm_params.extend(p for p in m.parameters(recurse=False))
+        norm_ids = {id(p) for p in norm_params}
+        other_params = [p for p in model.parameters() if id(p) not in norm_ids]
         self.opt = torch.optim.SGD(
-            model.parameters(), lr=lr, momentum=momentum, weight_decay=weight_decay
+            [
+                {"params": other_params, "weight_decay": weight_decay},
+                {"params": norm_params, "weight_decay": 0.0},
+            ],
+            lr=lr, momentum=momentum,
         )
         self.rpn_w = (1.0, 1.0, 1.0, 1.0)
         self.roi_w = (10.0, 10.0, 5.0, 5.0)
