@@ -24,7 +24,10 @@ REFERENCE_IMGS_PER_SEC = 4.5  # assumed A100 Detectron2 baseline (see docstring)
 
 
 def _watchdog(seconds: int = None):
-    seconds = seconds or int(__import__("os").environ.get("BENCH_WATCHDOG_SECS", 2400))
+    seconds = seconds or int(__import__("os").environ.get("BENCH_WATCHDOG_SECS", 7200))
+    # 7200s: a COLD cache pays two ~30-min backend compiles (run_step +
+    # the run_steps scan graph); a smaller watchdog would SIGKILL a
+    # healthy first run mid-compile and report a false "tunnel hung"
     """The axon TPU tunnel can wedge (ops hang forever, ~0 CPU). Emit a
     sentinel result instead of hanging the driver."""
 

@@ -57,29 +57,51 @@ struct ImgResult {
   int npig = 0;                  // non-ignored GT count
 };
 
-ImgResult MatchImage(std::vector<Det> dets, const std::vector<Box>& gts_in,
-                     double lo, double hi, int max_dets) {
+// Per-(class, image) state shared across the 4 area ranges: detections
+// sorted/truncated once, IoU matrix (in ORIGINAL gt order) computed once —
+// the ranges differ only in gt ignore flags, so recomputing the dominant
+// O(d*g) IoU work per range quadrupled the evaluator's cost.
+struct ImgPrep {
+  std::vector<Det> dets;       // score-sorted, truncated to max_dets
+  std::vector<double> iou;     // [d * g] vs gts in original order
+};
+
+ImgPrep PrepImage(std::vector<Det> dets, const std::vector<Box>& gts,
+                  int max_dets) {
   std::stable_sort(dets.begin(), dets.end(),
                    [](const Det& a, const Det& b) { return a.score > b.score; });
   if ((int)dets.size() > max_dets) dets.resize(max_dets);
+  const int d = dets.size(), g = gts.size();
+  ImgPrep p;
+  p.iou.resize((size_t)d * g);
+  for (int i = 0; i < d; ++i)
+    for (int j = 0; j < g; ++j) p.iou[(size_t)i * g + j] = IoU(dets[i].box, gts[j]);
+  p.dets = std::move(dets);
+  return p;
+}
+
+ImgResult MatchImage(const ImgPrep& prep, const std::vector<Box>& gts_in,
+                     double lo, double hi) {
+  const std::vector<Det>& dets = prep.dets;
   const int d = dets.size();
 
   // ignore flags; non-ignored GT first (stable), like COCOeval's gtind sort
-  std::vector<Box> gts;
+  std::vector<int> perm;       // position in the ORIGINAL gt order
   std::vector<uint8_t> gig;
-  gts.reserve(gts_in.size());
-  for (const auto& b : gts_in)
-    if (b.area() >= lo && b.area() < hi) {
-      gts.push_back(b);
+  perm.reserve(gts_in.size());
+  for (int j = 0; j < (int)gts_in.size(); ++j)
+    if (gts_in[j].area() >= lo && gts_in[j].area() < hi) {
+      perm.push_back(j);
       gig.push_back(0);
     }
-  int npig = gts.size();
-  for (const auto& b : gts_in)
-    if (!(b.area() >= lo && b.area() < hi)) {
-      gts.push_back(b);
+  int npig = perm.size();
+  for (int j = 0; j < (int)gts_in.size(); ++j)
+    if (!(gts_in[j].area() >= lo && gts_in[j].area() < hi)) {
+      perm.push_back(j);
       gig.push_back(1);
     }
-  const int g = gts.size();
+  const int g = perm.size();
+  const int g0 = gts_in.size();
 
   ImgResult r;
   r.npig = npig;
@@ -88,23 +110,21 @@ ImgResult MatchImage(std::vector<Det> dets, const std::vector<Box>& gts_in,
   r.ignored.assign(kNumThr * d, 0);
   for (int i = 0; i < d; ++i) r.scores[i] = dets[i].score;
   if (d && g) {
-    std::vector<double> iou(d * g);
-    for (int i = 0; i < d; ++i)
-      for (int j = 0; j < g; ++j) iou[i * g + j] = IoU(dets[i].box, gts[j]);
-
     for (int t = 0; t < kNumThr; ++t) {
       const double thr = 0.5 + 0.05 * t;
       std::vector<uint8_t> taken(g, 0);
       for (int i = 0; i < d; ++i) {
         int best = -1;
-        double best_iou = thr - 1e-10;
+        // pycocotools-exact: threshold min(thr, 1-1e-10); accept at
+        // iou >= running best, so equal-IoU ties take the LATER gt
+        double best_iou = std::min(thr, 1.0 - 1e-10);
         for (int j = 0; j < g; ++j) {
           if (taken[j]) continue;
           // holding a non-ignored match and reaching ignored GT: stop
           if (best >= 0 && !gig[best] && gig[j]) break;
-          if (iou[i * g + j] > best_iou) {
+          if (prep.iou[(size_t)i * g0 + perm[j]] >= best_iou) {
             best = j;
-            best_iou = iou[i * g + j];
+            best_iou = prep.iou[(size_t)i * g0 + perm[j]];
           }
         }
         if (best >= 0) {
@@ -233,12 +253,16 @@ int coco_evaluate(const int64_t* det_img, const int32_t* det_cat,
 
   const int block = kNumAreas * kNumThr + 1;
   for (int c = 0; c < num_classes; ++c) {
+    std::vector<ImgPrep> preps;
+    preps.reserve(n_img);
+    for (int im = 0; im < n_img; ++im)
+      preps.push_back(PrepImage(dets[c][im], gts[c][im], max_dets));
     for (int a = 0; a < kNumAreas; ++a) {
       std::vector<ImgResult> results;
       results.reserve(n_img);
       for (int im = 0; im < n_img; ++im)
         results.push_back(
-            MatchImage(dets[c][im], gts[c][im], kAreaLo[a], kAreaHi[a], max_dets));
+            MatchImage(preps[im], gts[c][im], kAreaLo[a], kAreaHi[a]));
       double ar = -1.0;
       ApCurve(results, out + c * block + a * kNumThr, a == 0 ? &ar : nullptr);
       if (a == 0) out[c * block + kNumAreas * kNumThr] = ar;

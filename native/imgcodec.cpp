@@ -213,7 +213,14 @@ int decode_png(FILE* f, uint8_t** out, int32_t* h, int32_t* w) {
   png_read_info(png, info);
   png_set_palette_to_rgb(png);
   png_set_expand_gray_1_2_4_to_8(png);
-  if (png_get_bit_depth(png, info) == 16) png_set_strip_16(png);
+  if (png_get_bit_depth(png, info) == 16) {
+    // 16-bit: strip_16 keeps the high byte, but PIL opens 16-bit grayscale
+    // as mode "I" and convert("RGB") CLIPS at 255 — different pixels. Rare
+    // in detection datasets; refuse and let the caller fall back to PIL so
+    // the bit-parity contract holds for every file actually decoded here.
+    png_destroy_read_struct(&png, &info, nullptr);
+    return -9;
+  }
   if (png_get_valid(png, info, PNG_INFO_tRNS)) png_set_tRNS_to_alpha(png);
   png_set_strip_alpha(png);
   if (png_get_color_type(png, info) == PNG_COLOR_TYPE_GRAY ||

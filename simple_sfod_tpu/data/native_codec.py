@@ -44,16 +44,21 @@ def _load() -> Optional[ctypes.CDLL]:
             return _LIB
         _TRIED = True
         so = os.path.join(NATIVE_DIR, "libimgcodec.so")
-        if not os.path.exists(so):
+        src = os.path.join(NATIVE_DIR, "imgcodec.cpp")
+        stale = os.path.exists(src) and (
+            not os.path.exists(so) or os.path.getmtime(src) > os.path.getmtime(so)
+        )
+        if stale:
             try:
                 subprocess.run(
-                    ["make", "-C", NATIVE_DIR, "libimgcodec.so"],
+                    ["make", "-C", NATIVE_DIR, "-B", "libimgcodec.so"],
                     check=True,
                     capture_output=True,
                     timeout=120,
                 )
             except Exception:
-                return None
+                if not os.path.exists(so):
+                    return None  # no binary at all; else: use committed .so
         try:
             lib = ctypes.CDLL(so)
         except OSError:

@@ -77,13 +77,16 @@ def _match_image(
         for ti, thr in enumerate(IOU_THRS):
             gt_taken = np.zeros(g, bool)
             for di in range(d):
-                best, best_iou = -1, thr - 1e-10
+                # pycocotools-exact: threshold min(thr, 1-1e-10), a
+                # candidate is accepted at ious >= running best (so equal-IoU
+                # ties go to the LATER gt, as COCOeval's evaluateImg does)
+                best, best_iou = -1, min(thr, 1 - 1e-10)
                 for gi in range(g):
                     if gt_taken[gi]:
                         continue
                     if best >= 0 and not gt_ig[best] and gt_ig[gi]:
                         break
-                    if ious[di, gi] > best_iou:
+                    if ious[di, gi] >= best_iou:
                         best, best_iou = gi, ious[di, gi]
                 if best >= 0:
                     gt_taken[best] = True

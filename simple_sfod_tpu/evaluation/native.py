@@ -29,13 +29,19 @@ def _load() -> Optional[ctypes.CDLL]:
         return _LIB
     _TRIED = True
     so = os.path.join(NATIVE_DIR, "libcocoeval.so")
-    if not os.path.exists(so):
+    src_cpp = os.path.join(NATIVE_DIR, "cocoeval.cpp")
+    stale = os.path.exists(src_cpp) and (
+        not os.path.exists(so) or os.path.getmtime(src_cpp) > os.path.getmtime(so)
+    )
+    if stale:  # also rebuilds when the committed .so lags the source
         try:
             subprocess.run(
-                ["make", "-C", NATIVE_DIR], check=True, capture_output=True, timeout=120
+                ["make", "-C", NATIVE_DIR, "-B", "libcocoeval.so"],
+                check=True, capture_output=True, timeout=120,
             )
         except Exception:
-            return None
+            if not os.path.exists(so):
+                return None
     try:
         lib = ctypes.CDLL(so)
     except OSError:

@@ -216,3 +216,60 @@ class TestCOCOEvalDifferential:
             if np.isnan(a) and np.isnan(b):
                 continue
             np.testing.assert_allclose(a, b, atol=1e-6, err_msg=key)
+
+
+class TestCOCOEvalTieSemantics:
+    def test_equal_iou_tie_and_exact_threshold_match_pycocotools(self):
+        """Two edge cases all three implementations must resolve the
+        pycocotools way: (a) a detection with IDENTICAL IoU to two GTs
+        matches the LATER one (evaluateImg accepts at >= running best);
+        (b) IoU exactly equal to the threshold IS a match (threshold
+        min(t, 1-1e-10), not t - eps)."""
+        from cocoeval_pedantic import pedantic_coco_map
+
+        from simple_sfod_tpu.evaluation.coco_eval import coco_map
+        from simple_sfod_tpu.evaluation.native import available, coco_map_native
+
+        # (a) one det covering two identical GT boxes -> tie at IoU 1.0;
+        # (b) one det overlapping a GT at exactly IoU 0.5
+        gts = {
+            0: {
+                "boxes": np.asarray(
+                    [[10.0, 10.0, 30.0, 30.0], [10.0, 10.0, 30.0, 30.0]]
+                ),
+                "classes": np.asarray([0, 0]),
+            },
+            1: {
+                "boxes": np.asarray([[0.0, 0.0, 20.0, 20.0]]),
+                "classes": np.asarray([0]),
+            },
+        }
+        dets = {
+            0: {
+                "boxes": np.asarray([[10.0, 10.0, 30.0, 30.0]]),
+                "scores": np.asarray([0.9]),
+                "classes": np.asarray([0]),
+            },
+            1: {
+                # IoU = 200/400 = 0.5 exactly vs the GT
+                "boxes": np.asarray([[0.0, 0.0, 20.0, 10.0]]),
+                "scores": np.asarray([0.8]),
+                "classes": np.asarray([0]),
+            },
+        }
+        ours = coco_map(dets, gts, num_classes=1)
+        ref = pedantic_coco_map(dets, gts, num_classes=1)
+        for key in ("AP", "AP50", "AP75"):
+            a, b = ours[key], ref[key]
+            if np.isnan(a) and np.isnan(b):
+                continue
+            np.testing.assert_allclose(a, b, atol=1e-9, err_msg=key)
+        # the IoU-0.5 det must count as a TP at thr 0.5 (>= semantics)
+        assert ours["AP50"] > 0
+        if available():
+            nat = coco_map_native(dets, gts, num_classes=1)
+            for key in ("AP", "AP50", "AP75"):
+                a, b = nat[key], ref[key]
+                if np.isnan(a) and np.isnan(b):
+                    continue
+                np.testing.assert_allclose(a, b, atol=1e-9, err_msg=f"native {key}")

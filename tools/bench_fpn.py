@@ -35,7 +35,7 @@ def main():
     from simple_sfod_tpu.engine.trainers import build_trainer
 
     cfg = get_cfg()
-    cfg.merge_from_file("configs/vgg16_fpn_cityscapes_to_foggy_source.yaml")
+    cfg.merge_from_file(os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", "configs", "vgg16_fpn_cityscapes_to_foggy_source.yaml"))
     cfg.SOLVER.IMS_PER_BATCH = 1
     cfg.SOLVER.CHECKPOINT_PERIOD = 0
     cfg.TEST.EVAL_PERIOD = 0

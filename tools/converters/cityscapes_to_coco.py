@@ -47,7 +47,9 @@ def convert(gt_root: str, img_root: str, split: str, foggy_beta: str = None) -> 
         city = os.path.basename(os.path.dirname(path))
         stem = os.path.basename(path).replace("_gtFine_polygons.json", "")
         suffix = f"_leftImg8bit_foggy_beta_{foggy_beta}.png" if foggy_beta else "_leftImg8bit.png"
-        file_name = os.path.join(city, stem + suffix)
+        # --img-root, when given, prefixes file_name so the JSON resolves
+        # from the dataset root (e.g. leftImg8bit/train/<city>/...)
+        file_name = os.path.join(img_root, split, city, stem + suffix) if img_root else os.path.join(city, stem + suffix)
         images.append(
             {
                 "id": img_id,

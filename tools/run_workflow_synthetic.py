@@ -85,9 +85,11 @@ def read_ap(output_dir):
     with open(p) as f:
         res = json.load(f)
     name, vals = next(iter(res.items()))
-    # AdaBN refinement nests results under <dataset>/<tag>
+    # AdaBN refinement nests results under <dataset>/<tag>: report the
+    # LAST tag deterministically (insertion order = evaluation order, so
+    # the post-AdaBN/final pass wins — not an arbitrary first key)
     if isinstance(vals, dict) and "AP50" not in vals:
-        vals = next(iter(vals.values()))
+        vals = list(vals.values())[-1]
     return {k: vals.get(k) for k in ("AP", "AP50", "F1")}
 
 

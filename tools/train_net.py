@@ -79,7 +79,11 @@ def main(args, eval_mode: str = "test"):
             try:
                 get_dataset(name)
                 print(f"[synthetic] {name}: on-disk annotations + synthesized pixels")
-            except Exception:
+            except (KeyError, LookupError, FileNotFoundError):
+                # name resolves to nothing: fully synthetic data. Corrupt
+                # JSONs and IO errors RAISE — silently training a workflow
+                # stage on 8 random images would mask real dataset bugs.
+                print(f"[synthetic] {name}: fully synthetic (no on-disk annotations)")
                 register_synthetic(name, num_images=8, num_classes=cfg.MODEL.ROI_HEADS.NUM_CLASSES)
 
     trainer = build_trainer(cfg, synthetic=args.synthetic)
