@@ -36,6 +36,8 @@ from .source_free_adaptive_teacher import SourceFreeAdaptiveTeacherTrainer
 class AdaptiveTeacherTrainer(SourceFreeAdaptiveTeacherTrainer):
     pseudo_from_student = False
     ema_enabled = True
+    # source-available: labeled source AND unlabeled target batches shard
+    _SHARD_BATCH_KEYS = ("IMS_PER_BATCH", "IMS_PER_BATCH_TARGET")
 
     def __init__(self, cfg, synthetic: bool = False):
         super().__init__(cfg, synthetic=synthetic)

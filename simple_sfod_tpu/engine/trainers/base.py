@@ -132,6 +132,13 @@ class _ChunkFeeder:
 class BaseTrainer:
     """cfg.TRAINER = "base": supervised source training (SURVEY §3.1)."""
 
+    # Batch sizes this trainer actually shards over the data mesh axis.
+    # The auto mesh width (TPU.MESH_DATA = -1) must divide every one of
+    # these — and ONLY these: including an unused batch size (e.g. the
+    # default IMS_PER_BATCH_TARGET=1 for a supervised trainer) would
+    # silently collapse a multi-chip run to a 1-device mesh.
+    _SHARD_BATCH_KEYS = ("IMS_PER_BATCH",)
+
     def __init__(self, cfg, synthetic: bool = False):
         self.cfg = cfg
         self.det_cfg = detector_config_from_cfg(cfg)
@@ -150,13 +157,9 @@ class BaseTrainer:
             # with a model axis, leave enough devices for data x model)
             import math
 
-            mesh_n = math.gcd(
-                len(jax.devices()) // mesh_m,
-                math.gcd(
-                    max(cfg.SOLVER.IMS_PER_BATCH, 1),
-                    max(cfg.SOLVER.IMS_PER_BATCH_TARGET, 1),
-                ),
-            )
+            mesh_n = len(jax.devices()) // mesh_m
+            for key in self._SHARD_BATCH_KEYS:
+                mesh_n = math.gcd(mesh_n, max(getattr(cfg.SOLVER, key), 1))
         self.mesh = make_mesh(mesh_n, mesh_m)
         # linear-scaling rule when SOLVER.REFERENCE_WORLD_SIZE is set
         # (reference base.py:38 auto_scale_workers)

@@ -33,6 +33,8 @@ from .base import BaseTrainer, _flip_enabled, apply_weak_aug
 
 class _DATrainerBase(BaseTrainer):
     conditional = False  # CDA: multiply instance features by class probs
+    # paired loaders: both the source and target batches are sharded
+    _SHARD_BATCH_KEYS = ("IMS_PER_BATCH", "IMS_PER_BATCH_TARGET")
     def stage_chunk(self, batches):
         """Paired (source, target) chunk stacker — targets are pulled in the
         same order as the per-step path; see BaseTrainer.stage_chunk for the

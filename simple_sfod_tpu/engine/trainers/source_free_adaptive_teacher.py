@@ -48,6 +48,8 @@ PINNED_CLASSES = (0, 2)
 class SourceFreeAdaptiveTeacherTrainer(BaseTrainer):
     pseudo_from_student = False
     ema_enabled = False
+    # source-free: only the unlabeled target batch is sharded
+    _SHARD_BATCH_KEYS = ("IMS_PER_BATCH_TARGET",)
 
     def __init__(self, cfg, synthetic: bool = False):
         self.dc_enabled = bool(cfg.DOMAIN_CLASSIFIER.ENABLED)

@@ -38,7 +38,14 @@ class ClassTable:
         name = str(name)
         if name not in self._idx:
             if self.frozen:
-                return -1
+                # yolo-style numeric class tokens index the (frozen) names
+                # list; anything else is unknown (-1, dropped with a warning
+                # by the loaders so every evaluator sees the same records)
+                try:
+                    i = int(name)
+                except ValueError:
+                    return -1
+                return i if 0 <= i < len(self.names) else -1
             self._idx[name] = len(self.names)
             self.names.append(name)
         return self._idx[name]
@@ -81,7 +88,9 @@ def read_coco_dets(path: str, id_map: Optional[Dict[int, int]] = None) -> Dict:
         rec = records.setdefault(d["image_id"], {"boxes": [], "classes": [], "scores": []})
         rec["boxes"].append([x, y, x + w, y + h])
         cat = d["category_id"]
-        rec["classes"].append(id_map.get(cat, cat) if id_map else cat)
+        # with a GT id_map, an unmapped category_id is unknown (-1) —
+        # passing the raw id through could collide with a contiguous id
+        rec["classes"].append(id_map.get(cat, -1) if id_map else cat)
         rec["scores"].append(d.get("score", 1.0))
     return records
 
@@ -181,18 +190,45 @@ def read_txt_dir(
 # --------------------------------------------------------------- entry point
 
 
+def _drop_unknown(records: Dict, detections: bool, context: str) -> Dict:
+    """Remove class -1 entries (unknown names / out-of-range ids) so COCO,
+    VOC and F1 all see the same inputs, and say so — silently diverging
+    evaluators are worse than a warning."""
+    import warnings
+
+    dropped = 0
+    for rec in records.values():
+        keep = [i for i, c in enumerate(rec["classes"]) if c != -1]
+        if len(keep) == len(rec["classes"]):
+            continue
+        dropped += len(rec["classes"]) - len(keep)
+        rec["boxes"] = [rec["boxes"][i] for i in keep]
+        rec["classes"] = [rec["classes"][i] for i in keep]
+        if detections and "scores" in rec:
+            rec["scores"] = [rec["scores"][i] for i in keep]
+    if dropped:
+        warnings.warn(
+            f"{context}: dropped {dropped} entr{'y' if dropped == 1 else 'ies'} "
+            "with class names/ids not in the class table"
+        )
+    return records
+
+
 def load_ground_truth(path: str, fmt: str, names=None, images_dir=None):
     table = ClassTable(names)
     if fmt == "coco":
         records, coco_names = read_coco_gt(path)
-        return records, (names or coco_names), None
+        # frozen table over the GT categories so txt/yolo DETECTIONS map
+        # through the same name/index space instead of first-seen order
+        table = ClassTable(names or coco_names)
+        return _drop_unknown(records, False, "ground truth"), table.names, table
     if fmt == "voc":
         records = read_voc_dir(path, table)
     elif fmt in ("yolo", "abs-xywh", "abs-xyxy"):
         records = read_txt_dir(path, table, fmt, detections=False, images_dir=images_dir)
     else:
         raise ValueError(f"unknown GT format {fmt}")
-    return records, table.names, table
+    return _drop_unknown(records, False, "ground truth"), table.names, table
 
 
 def load_detections(path: str, fmt: str, table=None, gt_path=None, images_dir=None):
@@ -202,8 +238,10 @@ def load_detections(path: str, fmt: str, table=None, gt_path=None, images_dir=No
             with open(gt_path) as f:
                 cats = sorted(json.load(f).get("categories", []), key=lambda c: c["id"])
             id_map = {c["id"]: i for i, c in enumerate(cats)}
+            return _drop_unknown(read_coco_dets(path, id_map), True, "detections")
         return read_coco_dets(path, id_map)
     if fmt in ("yolo", "abs-xywh", "abs-xyxy"):
         table = table or ClassTable()
-        return read_txt_dir(path, table, fmt, detections=True, images_dir=images_dir)
+        records = read_txt_dir(path, table, fmt, detections=True, images_dir=images_dir)
+        return _drop_unknown(records, True, "detections")
     raise ValueError(f"unknown detection format {fmt}")

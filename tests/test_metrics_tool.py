@@ -166,6 +166,56 @@ class TestFormatsAgree:
         dets4 = load_detections(det_dir, "abs-xyxy", table=table4)
         assert _voc_ap(gts4, dets4, names4)["VOC_AP50"] == pytest.approx(want)
 
+    def test_coco_gt_with_yolo_numeric_dets(self, tmp_path):
+        """Mixed formats: COCO-JSON GT + yolo txt detections with NUMERIC
+        class tokens. The det ids must map through the GT's category table
+        (yolo ids index the names list), not first-seen assignment — a det
+        file whose first line is class 1 used to scramble every class."""
+        want = _voc_ap(GT, DETS, NAMES)["VOC_AP50"]
+        gt_path, _ = _write_coco(tmp_path, GT, DETS)
+        w, h = IMG_SIZE
+        d = tmp_path / "det_yolo_num"
+        d.mkdir()
+        for img_id, rec in DETS.items():
+            lines = []
+            # class-1 lines FIRST so first-seen order would invert the map
+            order = sorted(range(len(rec["classes"])), key=lambda i: -rec["classes"][i])
+            for i in order:
+                b = rec["boxes"][i]
+                xc, yc = (b[0] + b[2]) / 2 / w, (b[1] + b[3]) / 2 / h
+                bw, bh = (b[2] - b[0]) / w, (b[3] - b[1]) / h
+                lines.append(
+                    f"{rec['classes'][i]} {rec['scores'][i]} {xc} {yc} {bw} {bh}"
+                )
+            (d / f"{img_id}.txt").write_text("\n".join(lines))
+        gts, names, table = load_ground_truth(gt_path, "coco")
+        assert table is not None and table.frozen
+        sizes = {k: IMG_SIZE for k in GT}
+        from simple_sfod_tpu.evaluation.toolkit import read_txt_dir
+
+        dets = read_txt_dir(str(d), table, "yolo", True, image_sizes=sizes)
+        assert _voc_ap(gts, dets, names)["VOC_AP50"] == pytest.approx(want, abs=1e-6)
+
+    def test_unknown_det_classes_dropped_with_warning(self, tmp_path):
+        """A det class outside the table is dropped at LOAD time (with a
+        warning) so COCO/VOC/F1 all see the same records instead of each
+        treating class -1 differently."""
+        import warnings
+
+        gt_path, _ = _write_coco(tmp_path, GT, DETS)
+        gts, names, table = load_ground_truth(gt_path, "coco")
+        d = tmp_path / "det_bad"
+        d.mkdir()
+        (d / "img1.txt").write_text(
+            "truck 0.95 10 10 50 50\nperson 0.9 12 11 52 49"
+        )
+        with warnings.catch_warnings(record=True) as caught:
+            warnings.simplefilter("always")
+            dets = load_detections(str(d), "abs-xyxy", table=table)
+        assert any("dropped 1" in str(c.message) for c in caught)
+        assert dets["img1"]["classes"] == [0]
+        assert dets["img1"]["scores"] == [0.9]
+
     def test_11_point_differs_but_close(self):
         all_pt = _voc_ap(GT, DETS, NAMES, "all_point")["VOC_AP50"]
         eleven = _voc_ap(GT, DETS, NAMES, "11_point")["VOC_AP50"]

@@ -540,6 +540,35 @@ class TestAutoScale:
         assert auto_scale_workers(cfg2, 4) is cfg2
 
 
+class TestAutoMeshWidth:
+    """TPU.MESH_DATA=-1 must gcd ONLY over the batch sizes the trainer
+    actually shards: a supervised run must not be collapsed to a 1-device
+    mesh by the default (unused) IMS_PER_BATCH_TARGET=1."""
+
+    def _mesh_data(self, trainer, ims, target):
+        cfg = tiny_cfg(
+            trainer,
+            **{
+                "SOLVER.IMS_PER_BATCH": ims,
+                "SOLVER.IMS_PER_BATCH_TARGET": target,
+                "TPU.MESH_DATA": -1,
+            },
+        )
+        cfg.freeze()
+        tr = build_trainer(cfg, synthetic=True)
+        return tr.mesh.shape["data"]
+
+    def test_supervised_ignores_target_batch(self):
+        # 8 virtual devices (conftest); TARGET=1 is the global default
+        assert self._mesh_data("base", 8, 1) == 8
+
+    def test_sfat_ignores_source_batch(self):
+        assert self._mesh_data("source_free_adaptive_teacher", 1, 8) == 8
+
+    def test_da_divides_both(self):
+        assert self._mesh_data("da", 8, 4) == 4
+
+
 class TestPreemption:
     """SIGTERM mid-run (preemptible TPU fleets deliver it before eviction):
     the loop finishes the in-flight chunk, writes a durable model_preempt_*
