@@ -25,6 +25,7 @@ def inference_on_dataset(
     dump_json: Optional[str] = None,
     category_ids: Optional[dict] = None,
     pipeline_depth: int = 4,
+    mesh=None,
 ) -> Dict:
     """Run inference over a test loader; boxes are mapped back to original
     file coordinates (divide by the resize scale) before evaluation.
@@ -39,6 +40,20 @@ def inference_on_dataset(
     earlier results are materialized and post-processed — each materializing
     read pays one tunnel round trip on this box (BENCH_NOTES round 2), so a
     strictly serial dispatch/read loop is RTT-bound instead of device-bound.
+
+    mesh: optional `jax.sharding.Mesh` with a 'data' axis. When its data
+    width D > 1, inference runs data-parallel — the reference's multi-GPU
+    `inference_on_dataset` under DDP launch (SURVEY §3.4 / §2.3), done the
+    GSPMD way: variables are replicated once, each batch is sharded over
+    'data' on the image dimension, and the SAME jitted infer graph runs
+    with XLA-placed collectives (none at eval-mode BN — images are
+    independent, so the sharded pass is numerically identical to the
+    single-device pass; equivalence-tested in tests/test_eval_dp.py).
+    Batches whose size is not a multiple of D are padded by repeating the
+    final record — the image-id dedup below already drops repeats. With
+    `train_mode_bn=True` such padding joins the batch statistics, so keep
+    TEST.IMS_PER_BATCH a multiple of the mesh width for bit-exact AdaBN
+    evals.
     """
     if evaluators is None:
         evaluators = [COCOEvaluator(thing_classes), F1Evaluator()]
@@ -48,6 +63,27 @@ def inference_on_dataset(
         jit_infer = jax.jit(
             lambda v, img, sz: detector.infer(v, img, sz, train_mode_bn=train_mode_bn)
         )
+
+    dp = 1
+    if mesh is not None and "data" in mesh.axis_names and mesh.shape["data"] > 1:
+        from ..parallel.mesh import replicate, shard_batch
+
+        dp = int(mesh.shape["data"])
+        variables = replicate(mesh, variables)
+
+    def dispatch(batch):
+        if dp == 1:
+            return jit_infer(
+                variables, jnp.asarray(batch["images"]), jnp.asarray(batch["sizes"])
+            )
+        img = np.asarray(batch["images"])
+        sz = np.asarray(batch["sizes"])
+        pad = (-img.shape[0]) % dp  # constant per loader: batches are fixed-size
+        if pad:
+            img = np.concatenate([img, np.repeat(img[-1:], pad, axis=0)])
+            sz = np.concatenate([sz, np.repeat(sz[-1:], pad, axis=0)])
+        img, sz = shard_batch(mesh, (img, sz))
+        return jit_infer(variables, img, sz)
 
     seen = set()
 
@@ -102,9 +138,7 @@ def inference_on_dataset(
     inflight = collections.deque()
     depth = max(1, int(pipeline_depth))  # TPU.EVAL_PIPELINE_DEPTH
     for batch in loader:
-        dets = jit_infer(
-            variables, jnp.asarray(batch["images"]), jnp.asarray(batch["sizes"])
-        )
+        dets = dispatch(batch)
         inflight.append((batch, dets))
         if len(inflight) >= depth:
             process(*inflight.popleft())

@@ -491,6 +491,7 @@ class BaseTrainer:
                 ),
                 category_ids={v: k for k, v in id_map.items()},
                 pipeline_depth=self.cfg.TPU.EVAL_PIPELINE_DEPTH,
+                mesh=self.mesh,
             )
             results[name] = res
             ap_line = {k: res.get(k) for k in ("AP", "AP50", "AP75", "F1")}
@@ -527,6 +528,11 @@ class BaseTrainer:
         # this box (BENCH_NOTES round 2), so 1400 per-batch dispatches are
         # dominated by round trips. Statistics are sequentially identical to
         # the per-batch path (tests/test_trainers.py guards equality).
+        # Each batch's images additionally shard over the mesh's data axis
+        # (no-op on one device): a batch's BN statistics are a full-batch
+        # reduction, so GSPMD's cross-device mean leaves the running-stat
+        # trajectory identical while the forwards run data-parallel
+        # (tests/test_eval_dp.py::test_dp_bn_update_equals_single_device).
 
         def bn_many(variables, images_stack):
             def body(stats, imgs):
@@ -547,12 +553,12 @@ class BaseTrainer:
             pending.append(np.asarray(batch["images"]))
             taken += 1
             if len(pending) == chunk:
-                stack = jnp.asarray(np.stack(pending))
+                stack = self._shard(np.stack(pending), axis=1)
                 new_stats = bn_chunk(self.state.variables(), stack)
                 self.state = self.state.replace(batch_stats=new_stats)
                 pending = []
         for images in pending:  # tail smaller than one chunk
-            new_stats = bn_step(self.state.variables(), jnp.asarray(images))
+            new_stats = bn_step(self.state.variables(), self._shard(images))
             self.state = self.state.replace(batch_stats=new_stats)
         results = self.test()
         self.checkpointer.save("adabn", self.state)

@@ -284,6 +284,7 @@ class _DATrainerBase(BaseTrainer):
                 self.detector, variables, loader, ds["thing_classes"],
                 build_evaluators(self.cfg, name, ds["thing_classes"]),
                 pipeline_depth=self.cfg.TPU.EVAL_PIPELINE_DEPTH,
+                mesh=self.mesh,
             )
             results[name] = res
             ap_line = {

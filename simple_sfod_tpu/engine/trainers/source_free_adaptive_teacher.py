@@ -589,6 +589,7 @@ class SourceFreeAdaptiveTeacherTrainer(BaseTrainer):
                     ds["thing_classes"],
                     build_evaluators(self.cfg, name, ds["thing_classes"]),
                     pipeline_depth=self.cfg.TPU.EVAL_PIPELINE_DEPTH,
+                    mesh=self.mesh,
                 )
                 results[f"{name}/{tag}"] = res
                 # None-safe: VOC-family evaluator sets carry VOC_AP50/F1,
