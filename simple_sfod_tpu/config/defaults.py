@@ -106,6 +106,25 @@ def get_cfg() -> CfgNode:
     c.INPUT.MAX_SIZE_TEST = 1333
     c.INPUT.FORMAT = "BGR"
     c.INPUT.RANDOM_FLIP = "horizontal"
+    # YOLOX random_affine on the assembled mosaic. The reference's mosaic
+    # mappers construct these knobs (ref mosaic.py:44-45) but the call itself
+    # is commented out in all three forks (mosaic.py:196-206,
+    # mosaic_wq.py:197-207, mosaic_wq_new.py:199-209) — default False matches
+    # the LIVE reference; True enables full YOLOX-strength geometry
+    # (data/mosaic.py random_affine_batch).
+    c.INPUT.MOSAIC = CfgNode()
+    c.INPUT.MOSAIC.RANDOM_AFFINE = False
+    c.INPUT.MOSAIC.DEGREES = 10.0
+    c.INPUT.MOSAIC.TRANSLATE = 0.1
+    c.INPUT.MOSAIC.SCALE = (0.5, 1.5)
+    c.INPUT.MOSAIC.SHEAR = 2.0
+    # Mixup: companion flip is LIVE in the reference (mixup.py:174,225-227);
+    # the scale jitter is sampled but overwritten to 1 (mixup.py:210), i.e.
+    # DEAD — SCALE_JITTER=() matches the live reference, set e.g. (0.5, 1.5)
+    # to enable it.
+    c.INPUT.MIXUP = CfgNode()
+    c.INPUT.MIXUP.FLIP = True
+    c.INPUT.MIXUP.SCALE_JITTER = ()
 
     # ---- DATASETS / DATALOADER ----
     c.DATASETS = CfgNode()
@@ -157,6 +176,10 @@ def get_cfg() -> CfgNode:
     c.TEST.DETECTIONS_PER_IMAGE = 100
     c.TEST.VAL_LOSS = True
     c.TEST.EVALUATOR = "COCOeval"  # dead in the reference too (never read)
+    # F1 matching semantics: "reference" reproduces f1_evaluator.py exactly
+    # (top-5 cap, int32 boxes, global-max-IoU-first); "greedy" is the saner
+    # cap-free score-ordered variant. Both label their output via F1_mode.
+    c.TEST.F1_MODE = "reference"
     c.TEST.PRECISE_BN = CfgNode()
     c.TEST.PRECISE_BN.ENABLED = False
     c.TEST.PRECISE_BN.NUM_ITER = 200

@@ -1,10 +1,10 @@
 """Dataset registry mirroring the reference's name patterns.
 
 Re-implements /root/reference/daod/data/datasets.py:17-105: names like
-`cityscapes_instancesonly_{train,val}[_foggy_*]`, `sim10k_*`, `kitti_*`,
-`clipart/comic/watercolor_*` resolve to COCO-JSON files under a dataset root
-(env `SFOD_DATASETS`, falling back to `DETECTRON2_DATASETS` for drop-in
-compatibility).
+`cityscapes_instancesonly_{train,val}[_foggy_*]`, `sim10k_*`, `kitti_*`
+resolve to COCO-JSON files and `clipart/comic/watercolor_*` to Pascal-VOC XML
+trees (data/voc.py) under a dataset root (env `SFOD_DATASETS`, falling back
+to `DETECTRON2_DATASETS` for drop-in compatibility).
 """
 
 from __future__ import annotations
@@ -53,6 +53,23 @@ def register_dataset(
     }
 
 
+def register_voc_dataset(
+    name: str, dirname: str, split: str, thing_classes: list
+):
+    """Pascal-VOC XML dataset (the reference's register_pascal_voc path for
+    clipart/comic/watercolor, datasets.py:74-85)."""
+    DATASET_REGISTRY[name] = {
+        "name": name,
+        "json_file": None,
+        "voc_dirname": dirname,
+        "voc_split": split,
+        "image_root": os.path.join(dirname, "JPEGImages"),
+        "thing_classes": thing_classes,
+        "class_remap": None,
+        "_cache": None,
+    }
+
+
 def get_dataset(name: str) -> dict:
     """Resolve + lazily load a registered dataset; returns the registry entry
     with 'records' and 'thing_classes' filled in."""
@@ -64,9 +81,16 @@ def get_dataset(name: str) -> dict:
         raise KeyError(f"dataset {name!r} is not registered")
     entry = DATASET_REGISTRY[name]
     if entry["_cache"] is None:
-        data = load_coco_json(entry["json_file"], entry["image_root"])
-        if entry["thing_classes"]:
-            data["thing_classes"] = entry["thing_classes"]
+        if entry.get("voc_split") is not None:
+            from .voc import load_voc_instances
+
+            data = load_voc_instances(
+                entry["voc_dirname"], entry["voc_split"], entry["thing_classes"]
+            )
+        else:
+            data = load_coco_json(entry["json_file"], entry["image_root"])
+            if entry["thing_classes"]:
+                data["thing_classes"] = entry["thing_classes"]
         entry["_cache"] = data
     entry.update(entry["_cache"])
     return entry
@@ -120,6 +144,15 @@ def _register_by_pattern(name: str, root: Optional[str] = None):
         register_dataset(
             name, os.path.join(base, f"kitti_{split}_coco_format.json"), base, ["car"]
         )
+    elif name.startswith(("clipart_", "comic_", "watercolor_")):
+        # VOC-XML datasets (reference datasets.py:74-85, regex "(.*)_(.*)"
+        # matching the LAST underscore): clipart gets the 20 VOC classes,
+        # comic/watercolor the 6-class subset
+        from .voc import VOC6_CLASS_NAMES, VOC_CLASS_NAMES
+
+        ds, split = name.rsplit("_", 1)
+        classes = VOC_CLASS_NAMES if ds == "clipart" else VOC6_CLASS_NAMES
+        register_voc_dataset(name, os.path.join(root, ds), split, classes)
 
 
 def register_all_datasets(root: Optional[str] = None):
@@ -182,14 +215,14 @@ def register_all_datasets(root: Optional[str] = None):
             os.path.join(kitti, "training/image_2"),
             ["car"],
         )
-    voc_root = os.path.join(root, "cross_domain")
+    # clipart / comic / watercolor: Pascal-VOC XML under root/<name>
+    # (reference register_pascal_voc, datasets.py:74-85); arbitrary splits
+    # like "traintest" resolve via _register_by_pattern
+    from .voc import VOC6_CLASS_NAMES, VOC_CLASS_NAMES
+
     for name in ("clipart", "comic", "watercolor"):
-        for split in ("train", "test"):
+        classes = VOC_CLASS_NAMES if name == "clipart" else VOC6_CLASS_NAMES
+        for split in ("train", "test", "traintest"):
             key = f"{name}_{split}"
             if key not in DATASET_REGISTRY:
-                register_dataset(
-                    key,
-                    os.path.join(voc_root, name, f"annotations/{split}.json"),
-                    os.path.join(voc_root, name, "JPEGImages"),
-                    None,
-                )
+                register_voc_dataset(key, os.path.join(root, name), split, classes)

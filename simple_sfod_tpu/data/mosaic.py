@@ -112,15 +112,203 @@ def mosaic_batch(rng: jax.Array, images, gt: Instances):
     )
 
 
-def mixup_batch(rng: jax.Array, images, gt: Instances, alpha: float = 0.5):
-    """0.5/0.5 blend with the rolled batch; GT concatenated ([B, 2N])."""
+def mixup_batch(
+    rng: jax.Array,
+    images,
+    gt: Instances,
+    alpha: float = 0.5,
+    flip: bool = True,
+    scale_jitter=None,
+):
+    """0.5/0.5 blend with the rolled batch; GT concatenated ([B, 2N]).
+
+    flip: the companion is horizontally flipped with p=0.5 — LIVE in the
+    reference's mixup (mixup.py:174 `FLIP = random.uniform(0,1) > 0.5`,
+    :225-227 flips the full input_dim canvas including its gray padding, so
+    the flip here is about the full canvas width).
+
+    scale_jitter: optional (lo, hi) companion rescale about the top-left
+    corner with a random crop offset when upscaled — the reference SAMPLES
+    this factor (mixup.py:173) but then overwrites it with 1 (mixup.py:210
+    `jit_factor = 1`), so it is DEAD there; default None matches the live
+    reference. Downscale pads with 0 (reference np.zeros padded_img :230-233).
+    """
+    b, h, w = images.shape[0], images.shape[1], images.shape[2]
     other_images = jnp.roll(images, -1, axis=0)
-    out = images * alpha + other_images * (1.0 - alpha)
     other = jax.tree.map(lambda x: jnp.roll(x, -1, axis=0), gt)
+    oboxes = other.boxes
+    ovalid = other.valid
+
+    if scale_jitter is not None:
+        lo, hi = scale_jitter
+
+        def jitter_one(rng_i, img, boxes):
+            kj, ko = jax.random.split(rng_i)
+            j = jax.random.uniform(kj, (), minval=lo, maxval=hi)
+            # random crop offset when the jittered canvas exceeds the target
+            # (reference mixup.py:235-241); zero when it fits
+            omax = jnp.maximum(jnp.asarray([w, h], jnp.float32) * j - jnp.asarray([w, h], jnp.float32), 0.0)
+            off = jax.random.uniform(ko, (2,)) * omax
+            m = jnp.asarray([[j, 0.0, -off[0]], [0.0, j, -off[1]]], jnp.float32)
+            return affine_warp(img, m, pad_val=0.0), affine_boxes(boxes, m, w, h)
+
+        rj = jax.random.split(jax.random.fold_in(rng, 1), b)
+        other_images, oboxes = jax.vmap(jitter_one)(rj, other_images, oboxes)
+        ovalid = ovalid & nonempty(oboxes, 2.0)
+
+    if flip:
+        do = jax.random.bernoulli(jax.random.fold_in(rng, 0), 0.5, (b,))
+        flipped = other_images[:, :, ::-1, :]
+        fboxes = jnp.stack(
+            [w - oboxes[..., 2], oboxes[..., 1], w - oboxes[..., 0], oboxes[..., 3]],
+            axis=-1,
+        )
+        other_images = jnp.where(do[:, None, None, None], flipped, other_images)
+        oboxes = jnp.where(do[:, None, None], fboxes, oboxes)
+
+    out = images * alpha + other_images * (1.0 - alpha)
     merged = Instances(
-        boxes=jnp.concatenate([gt.boxes, other.boxes], axis=1),
+        boxes=jnp.concatenate([gt.boxes, oboxes], axis=1),
         scores=jnp.concatenate([gt.scores, other.scores], axis=1),
         classes=jnp.concatenate([gt.classes, other.classes], axis=1),
-        valid=jnp.concatenate([gt.valid, other.valid], axis=1),
+        valid=jnp.concatenate([gt.valid, ovalid], axis=1),
     )
     return out, merged
+
+
+# ---------------------------------------------------------------------------
+# YOLOX random_affine.
+#
+# The reference's mosaic mappers import it (mosaic.py:14) and construct the
+# degrees/translate/scale/shear knobs (mosaic.py:44-45), but the actual call
+# is COMMENTED OUT in all three forks (mosaic.py:196-206,
+# mosaic_wq.py:197-207, mosaic_wq_new.py:199-209) — the live reference mosaic
+# applies no affine. It is therefore OFF by default
+# (INPUT.MOSAIC.RANDOM_AFFINE=False matches the live reference) and available
+# as the full YOLOX-strength geometric augmentation.
+#
+# Matrix semantics are YOLOX get_affine_matrix / apply_affine_to_bboxes
+# (yolox/data/data_augment.py): rotation+scale about the origin via
+# cv2.getRotationMatrix2D(center=(0,0)), rows mixed by tan(shear), translation
+# uniform(0.5±translate)*target; boxes warp all 4 corners and take the
+# axis-aligned hull, clipped to the target. Golden-tested against a numpy
+# transcription in tests/test_transforms.py.
+# ---------------------------------------------------------------------------
+
+
+def affine_matrix(angle_deg, scale, shear_x_deg, shear_y_deg, tx, ty) -> jnp.ndarray:
+    """YOLOX get_affine_matrix from explicit parameters; returns M [2, 3]
+    with dst = M[:, :2] @ src + M[:, 2]."""
+    rad = jnp.asarray(angle_deg, jnp.float32) * (jnp.pi / 180.0)
+    a = scale * jnp.cos(rad)
+    b = scale * jnp.sin(rad)
+    r0 = jnp.stack([a, b])  # cv2.getRotationMatrix2D(center=(0,0)) row 0
+    r1 = jnp.stack([-b, a])
+    sx = jnp.tan(jnp.asarray(shear_x_deg, jnp.float32) * (jnp.pi / 180.0))
+    sy = jnp.tan(jnp.asarray(shear_y_deg, jnp.float32) * (jnp.pi / 180.0))
+    m0 = r0 + sy * r1
+    m1 = r1 + sx * r0
+    return jnp.stack(
+        [
+            jnp.concatenate([m0, jnp.asarray(tx, jnp.float32)[None]]),
+            jnp.concatenate([m1, jnp.asarray(ty, jnp.float32)[None]]),
+        ]
+    )
+
+
+def sample_affine_params(rng, target_size, degrees, translate, scales, shear):
+    """YOLOX's parameter sampling: angle/shear uniform(±x), scale
+    uniform(lo, hi), translation uniform(0.5±translate)*target."""
+    tw, th = target_size
+    ks = jax.random.split(rng, 6)
+    angle = jax.random.uniform(ks[0], (), minval=-degrees, maxval=degrees)
+    scale = jax.random.uniform(ks[1], (), minval=scales[0], maxval=scales[1])
+    shear_x = jax.random.uniform(ks[2], (), minval=-shear, maxval=shear)
+    shear_y = jax.random.uniform(ks[3], (), minval=-shear, maxval=shear)
+    tx = jax.random.uniform(ks[4], (), minval=0.5 - translate, maxval=0.5 + translate) * tw
+    ty = jax.random.uniform(ks[5], (), minval=0.5 - translate, maxval=0.5 + translate) * th
+    return angle, scale, shear_x, shear_y, tx, ty
+
+
+def affine_warp(image: jnp.ndarray, M: jnp.ndarray, pad_val: float = 114.0) -> jnp.ndarray:
+    """Inverse-warp bilinear resample: dst(x, y) = src(M^{-1} @ (x, y, 1)).
+    Out-of-bounds corners read pad_val (cv2.warpAffine borderValue=(114,..)).
+    Same-shape output; one fused gather, static shapes."""
+    h, w = image.shape[0], image.shape[1]
+    A, t = M[:, :2], M[:, 2]
+    det = A[0, 0] * A[1, 1] - A[0, 1] * A[1, 0]
+    inv = (
+        jnp.stack([jnp.stack([A[1, 1], -A[0, 1]]), jnp.stack([-A[1, 0], A[0, 0]])])
+        / det
+    )
+    ys, xs = jnp.meshgrid(
+        jnp.arange(h, dtype=jnp.float32), jnp.arange(w, dtype=jnp.float32), indexing="ij"
+    )
+    dx, dy = xs - t[0], ys - t[1]
+    sx = inv[0, 0] * dx + inv[0, 1] * dy
+    sy = inv[1, 0] * dx + inv[1, 1] * dy
+    x0, y0 = jnp.floor(sx), jnp.floor(sy)
+    fx, fy = (sx - x0)[..., None], (sy - y0)[..., None]
+
+    def sample(yi, xi):
+        inb = (xi >= 0) & (xi <= w - 1) & (yi >= 0) & (yi <= h - 1)
+        v = image[
+            jnp.clip(yi, 0, h - 1).astype(jnp.int32),
+            jnp.clip(xi, 0, w - 1).astype(jnp.int32),
+        ]
+        return jnp.where(inb[..., None], v, pad_val)
+
+    top = sample(y0, x0) * (1 - fx) + sample(y0, x0 + 1) * fx
+    bot = sample(y0 + 1, x0) * (1 - fx) + sample(y0 + 1, x0 + 1) * fx
+    return top * (1 - fy) + bot * fy
+
+
+def affine_boxes(boxes: jnp.ndarray, M: jnp.ndarray, out_w, out_h) -> jnp.ndarray:
+    """YOLOX apply_affine_to_bboxes: warp the 4 corners, axis-aligned hull,
+    clip x to [0, out_w] and y to [0, out_h]."""
+    x1, y1, x2, y2 = boxes[..., 0], boxes[..., 1], boxes[..., 2], boxes[..., 3]
+    cx = jnp.stack([x1, x2, x1, x2], axis=-1)
+    cy = jnp.stack([y1, y2, y2, y1], axis=-1)
+    nx = M[0, 0] * cx + M[0, 1] * cy + M[0, 2]
+    ny = M[1, 0] * cx + M[1, 1] * cy + M[1, 2]
+    return jnp.stack(
+        [
+            jnp.clip(nx.min(-1), 0, out_w),
+            jnp.clip(ny.min(-1), 0, out_h),
+            jnp.clip(nx.max(-1), 0, out_w),
+            jnp.clip(ny.max(-1), 0, out_h),
+        ],
+        axis=-1,
+    )
+
+
+def random_affine_batch(
+    rng: jax.Array,
+    images,
+    gt: Instances,
+    degrees: float = 10.0,
+    translate: float = 0.1,
+    scales=(0.5, 1.5),
+    shear: float = 2.0,
+    pad_val: float = 114.0,
+):
+    """Per-image YOLOX random_affine on the assembled mosaic canvas.
+
+    Coordinate frame: the matrix acts on source coordinates measured from the
+    CANVAS CENTER (dst = M @ (src - c)). YOLOX feeds a 2x canvas whose content
+    sits around its center and the ~0.5*target translation recentres it; our
+    mosaic is already the 1x center assembly, so the pre-shift reproduces the
+    same content-centered geometry without materialising a 2x canvas.
+    Boxes that collapse below 2px after the warp are dropped (sliver drop,
+    like adjust_box_anns)."""
+    b, h, w = images.shape[0], images.shape[1], images.shape[2]
+    c = jnp.asarray([w / 2.0, h / 2.0], jnp.float32)
+
+    def one(rng_i, img, boxes):
+        m = affine_matrix(*sample_affine_params(rng_i, (w, h), degrees, translate, scales, shear))
+        m_eff = jnp.concatenate([m[:, :2], (m[:, 2] - m[:, :2] @ c)[:, None]], axis=1)
+        return affine_warp(img, m_eff, pad_val), affine_boxes(boxes, m_eff, w, h)
+
+    rngs = jax.random.split(rng, b)
+    out, nb = jax.vmap(one)(rngs, images, gt.boxes)
+    return out, gt.replace(boxes=nb, valid=gt.valid & nonempty(nb, 2.0))

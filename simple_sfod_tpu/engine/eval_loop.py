@@ -50,10 +50,15 @@ def inference_on_dataset(
     independent, so the sharded pass is numerically identical to the
     single-device pass; equivalence-tested in tests/test_eval_dp.py).
     Batches whose size is not a multiple of D are padded by repeating the
-    final record — the image-id dedup below already drops repeats. With
+    final record; the padded rows are never visited by process() (it
+    iterates only the batch's own image_ids — the image-id dedup handles
+    the LOADER's final-batch repeats, not the pad). With
     `train_mode_bn=True` such padding joins the batch statistics, so keep
     TEST.IMS_PER_BATCH a multiple of the mesh width for bit-exact AdaBN
-    evals.
+    evals. Note TEST.IMS_PER_BATCH must be >= D for the DP path to give any
+    speedup (a warning is emitted otherwise); multi-process (multi-host)
+    meshes are not supported by this path — dp is forced to 1 there (the
+    multihost worker path uses make_array_from_process_local_data).
     """
     if evaluators is None:
         evaluators = [COCOEvaluator(thing_classes), F1Evaluator()]
@@ -66,10 +71,24 @@ def inference_on_dataset(
 
     dp = 1
     if mesh is not None and "data" in mesh.axis_names and mesh.shape["data"] > 1:
-        from ..parallel.mesh import replicate, shard_batch
+        if jax.process_count() > 1:
+            # plain device_put of host-local numpy can't target a sharding
+            # spanning non-addressable devices, and process() materializes
+            # outputs with np.asarray — route multihost eval through the
+            # single-device path instead (ADVICE r3).
+            import warnings
 
-        dp = int(mesh.shape["data"])
-        variables = replicate(mesh, variables)
+            warnings.warn(
+                "data-parallel eval is single-process only; falling back to "
+                "dp=1 on this multi-process mesh"
+            )
+        else:
+            from ..parallel.mesh import replicate, shard_batch
+
+            dp = int(mesh.shape["data"])
+            variables = replicate(mesh, variables)
+
+    warned_pad = []
 
     def dispatch(batch):
         if dp == 1:
@@ -79,6 +98,16 @@ def inference_on_dataset(
         img = np.asarray(batch["images"])
         sz = np.asarray(batch["sizes"])
         pad = (-img.shape[0]) % dp  # constant per loader: batches are fixed-size
+        if pad and not warned_pad:
+            warned_pad.append(True)
+            import warnings
+
+            warnings.warn(
+                f"eval batch of {img.shape[0]} images padded to {img.shape[0] + pad} "
+                f"for the {dp}-wide data mesh: {pad}/{img.shape[0] + pad} of device "
+                "work is wasted — raise TEST.IMS_PER_BATCH to a multiple of the "
+                "mesh width to benefit from data-parallel eval"
+            )
         if pad:
             img = np.concatenate([img, np.repeat(img[-1:], pad, axis=0)])
             sz = np.concatenate([sz, np.repeat(sz[-1:], pad, axis=0)])

@@ -15,7 +15,7 @@ import jax
 import jax.numpy as jnp
 
 from ...data import transforms as T
-from ...data.mosaic import mixup_batch, mosaic_batch
+from ...data.mosaic import mixup_batch, mosaic_batch, random_affine_batch
 from ...models.detector import DetectionBatch
 from ...structures.instances import Instances
 from ...solver.build import apply_gradients, stop_frozen_gradients
@@ -33,6 +33,16 @@ class WQTrainer(BaseTrainer):
         flip = _flip_enabled(self.cfg)
         freeze_at = int(self.cfg.MODEL.BACKBONE.FREEZE_AT)
         aug = self.aug
+        mcfg = self.cfg.INPUT.MOSAIC
+        affine = bool(mcfg.RANDOM_AFFINE)
+        affine_kw = dict(
+            degrees=float(mcfg.DEGREES),
+            translate=float(mcfg.TRANSLATE),
+            scales=tuple(mcfg.SCALE),
+            shear=float(mcfg.SHEAR),
+        )
+        mixup_flip = bool(self.cfg.INPUT.MIXUP.FLIP)
+        mixup_jitter = tuple(self.cfg.INPUT.MIXUP.SCALE_JITTER) or None
 
         def step_fn(state: TrainState, images, sizes, gt: Instances, rng):
             images = images.astype(jnp.float32)
@@ -41,11 +51,17 @@ class WQTrainer(BaseTrainer):
             images, gt = apply_weak_aug(rng_flip, images, sizes, gt, flip)
             if aug in ("mosaic", "mosaic_wq"):
                 images, gt = mosaic_batch(rng_mix, images, gt)
+                if affine:
+                    images, gt = random_affine_batch(
+                        jax.random.fold_in(rng_mix, 1), images, gt, **affine_kw
+                    )
                 sizes = jnp.broadcast_to(
                     jnp.asarray(images.shape[1:3], jnp.int32), sizes.shape
                 )
             elif aug == "mixup":
-                images, gt = mixup_batch(rng_mix, images, gt)
+                images, gt = mixup_batch(
+                    rng_mix, images, gt, flip=mixup_flip, scale_jitter=mixup_jitter
+                )
             if aug in ("wq", "mosaic_wq"):
                 rngs = jax.random.split(rng_strong, images.shape[0])
                 images = jax.vmap(T.strong_augment)(rngs, images)

@@ -21,10 +21,11 @@ VOC_DATASET_PREFIXES = ("clipart", "comic", "watercolor")
 
 
 def build_evaluators(cfg, dataset_name: str, thing_classes):
+    f1_mode = getattr(cfg.TEST, "F1_MODE", "reference")
     evaluators = []
     if any(dataset_name.startswith(p) for p in VOC_DATASET_PREFIXES):
         evaluators.append(PascalVOCEvaluator(thing_classes))
-        evaluators.append(F1Evaluator())
+        evaluators.append(F1Evaluator(mode=f1_mode))
         return evaluators
     car_only = len(thing_classes) == 1 and ("sim10k" in dataset_name or "kitti" in dataset_name or list(thing_classes) == ["car"])
     if car_only and cfg.MODEL.ROI_HEADS.NUM_CLASSES == 8:
@@ -33,6 +34,6 @@ def build_evaluators(cfg, dataset_name: str, thing_classes):
         )
     else:
         evaluators.append(COCOEvaluator(thing_classes, max_dets=cfg.TEST.DETECTIONS_PER_IMAGE))
-    evaluators.append(F1Evaluator())
+    evaluators.append(F1Evaluator(mode=f1_mode))
     evaluators.append(DECEEvaluator())
     return evaluators

@@ -1,7 +1,16 @@
 """Detection expected calibration error (reference daod/evaluation/dece.py,
 which binned detection confidences with netcal's ECE :129-134). netcal is not
 a dependency; equal-width confidence binning over matched/unmatched
-detections reproduces the metric."""
+detections reproduces the metric.
+
+DOCUMENTED DEVIATION: the reference passes ``n_bins=len(confidences)``
+(dece.py:129-134) — one equal-width bin per detection — a netcal quirk that
+makes the bin count data-dependent and the value noisier as the dataset
+grows. The default here is 10 fixed bins, so the value will NOT numerically
+match the reference's; pass ``bins="netcal"`` to reproduce the quirk
+(n_bins = number of collected detections at evaluate time). Note DECE is
+commented out of the reference's live evaluator list (ref base.py:151), so
+no reference workload actually reports it."""
 
 from __future__ import annotations
 
@@ -11,7 +20,7 @@ from .coco_eval import _iou
 
 
 class DECEEvaluator:
-    def __init__(self, iou_thresh: float = 0.5, bins: int = 10, score_thresh: float = 0.05):
+    def __init__(self, iou_thresh: float = 0.5, bins=10, score_thresh: float = 0.05):
         self.iou_thresh = iou_thresh
         self.bins = bins
         self.score_thresh = score_thresh
@@ -51,10 +60,13 @@ class DECEEvaluator:
         corr = np.asarray(self.correct, np.float64)
         if len(conf) == 0:
             return {"DECE": float("nan")}
-        edges = np.linspace(0, 1, self.bins + 1)
+        # bins="netcal" reproduces the reference's n_bins=len(confidences)
+        # quirk (ref dece.py:129-134); see the module docstring.
+        nbins = len(conf) if self.bins == "netcal" else int(self.bins)
+        edges = np.linspace(0, 1, nbins + 1)
         ece = 0.0
-        for b in range(self.bins):
-            sel = (conf >= edges[b]) & (conf < edges[b + 1] if b < self.bins - 1 else conf <= 1.0)
+        for b in range(nbins):
+            sel = (conf >= edges[b]) & (conf < edges[b + 1] if b < nbins - 1 else conf <= 1.0)
             if sel.sum() == 0:
                 continue
             ece += sel.mean() * abs(conf[sel].mean() - corr[sel].mean())

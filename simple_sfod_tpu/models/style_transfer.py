@@ -67,12 +67,14 @@ class StyleDecoder(nn.Module):
 
 def adaptive_instance_normalization(content: jnp.ndarray, style: jnp.ndarray) -> jnp.ndarray:
     """Normalise content feature moments to the style's (style.py:100-124).
-    content/style: [B, H, W, C] (per-sample, per-channel moments)."""
+    content/style: [B, H, W, C] (per-sample, per-channel moments). ddof=1
+    matches the reference's torch `.var(dim=2)` (unbiased, style.py:57) —
+    torch-differential-tested in tests/test_style.py."""
     eps = 1e-5
     c_mean = jnp.mean(content, axis=(1, 2), keepdims=True)
-    c_std = jnp.sqrt(jnp.var(content, axis=(1, 2), keepdims=True) + eps)
+    c_std = jnp.sqrt(jnp.var(content, axis=(1, 2), keepdims=True, ddof=1) + eps)
     s_mean = jnp.mean(style, axis=(1, 2), keepdims=True)
-    s_std = jnp.sqrt(jnp.var(style, axis=(1, 2), keepdims=True) + eps)
+    s_std = jnp.sqrt(jnp.var(style, axis=(1, 2), keepdims=True, ddof=1) + eps)
     return (content - c_mean) / c_std * s_std + s_mean
 
 

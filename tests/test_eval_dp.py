@@ -66,8 +66,11 @@ def _assert_same(res1, resN, dets1, detsN):
     # identical evaluator output (COCO AP table + F1)
     assert set(res1) == set(resN)
     for k, v in res1.items():
-        if isinstance(v, (int, float)) and np.isfinite(v) and np.isfinite(resN[k]):
-            np.testing.assert_allclose(resN[k], v, rtol=0, atol=1e-6, err_msg=k)
+        if isinstance(v, (int, float)):
+            # a metric must not regress to NaN on one side only (ADVICE r3)
+            assert np.isfinite(v) == np.isfinite(resN[k]), k
+            if np.isfinite(v):
+                np.testing.assert_allclose(resN[k], v, rtol=0, atol=1e-6, err_msg=k)
 
 
 @pytest.mark.skipif(jax.device_count() < 4, reason="needs >=4 devices")

@@ -273,3 +273,135 @@ class TestCOCOEvalTieSemantics:
                 if np.isnan(a) and np.isnan(b):
                     continue
                 np.testing.assert_allclose(a, b, atol=1e-9, err_msg=f"native {key}")
+
+
+# ---------------------------------------------------------------------------
+# Reference-exact F1 mode: differential vs a direct numpy transcription of
+# daod/evaluation/f1_evaluator.py (count_confusions :101-129, evaluate_output
+# :142-174, evaluate :176-230).
+# ---------------------------------------------------------------------------
+
+
+def _oracle_iou_plus1(ev, out):
+    ev_areas = (ev[:, 2] - ev[:, 0] + 1) * (ev[:, 3] - ev[:, 1] + 1)
+    out_areas = (out[:, 2] - out[:, 0] + 1) * (out[:, 3] - out[:, 1] + 1)
+    ious = np.zeros((len(ev), len(out)))
+    for i in range(len(ev)):
+        xx1 = np.maximum(ev[i, 0], out[:, 0])
+        yy1 = np.maximum(ev[i, 1], out[:, 1])
+        xx2 = np.minimum(ev[i, 2], out[:, 2])
+        yy2 = np.minimum(ev[i, 3], out[:, 3])
+        w = np.maximum(0.0, xx2 - xx1 + 1)
+        h = np.maximum(0.0, yy2 - yy1 + 1)
+        inter = w * h
+        ious[i, :] = inter / (ev_areas[i] + out_areas - inter)
+    return ious
+
+
+def _oracle_count_confusions(ev_boxes, out_boxes, iou_thresh):
+    ious = _oracle_iou_plus1(ev_boxes, out_boxes)
+    ev_trues, out_trues = [], []
+    while True:
+        ret = np.where((ious > iou_thresh) & (ious == ious.max()))
+        if len(ret[0]) == 0:
+            break
+        ei, oi = ret[0][0], ret[1][0]
+        ious[ei, :] = 0
+        ious[:, oi] = 0
+        ev_trues.append(ei)
+        out_trues.append(oi)
+    return (
+        len(ev_trues),
+        sum(1 for i in range(len(out_boxes)) if i not in out_trues),
+        sum(1 for i in range(len(ev_boxes)) if i not in ev_trues),
+    )
+
+
+def _oracle_reference_f1(images, class_number, iou=0.5, top_n=5, score=0.5):
+    TP = FP = FN = 0
+    for det_boxes, det_scores, det_classes, gt_boxes, gt_classes in images:
+        b, c = det_boxes, det_classes
+        if len(det_boxes) > 0:
+            keep = np.where(det_scores >= score)[0]
+            b, c, s = det_boxes[keep], det_classes[keep], det_scores[keep]
+            keep = np.argsort(s)[::-1][:top_n]
+            b, c = b[keep], c[keep]
+            b = b.astype(np.int32)
+        for cid in range(class_number):
+            ek = np.where(gt_classes == cid)[0]
+            ok = np.where(c == cid)[0]
+            if len(ek) == 0:
+                FP += len(ok)
+            if len(ok) == 0:
+                FN += len(ek)
+            if len(ek) > 0 and len(ok) > 0:
+                tp, fp, fn = _oracle_count_confusions(
+                    gt_boxes[ek].astype(np.float64), b[ok].astype(np.float64), iou
+                )
+                TP, FP, FN = TP + tp, FP + fp, FN + fn
+    prec = TP / (TP + FP) if (TP + FP) else 0
+    rec = TP / (TP + FN) if (TP + FN) else 0
+    if prec + rec == 0:
+        return 0.0, TP, FP, FN
+    return 2 * prec * rec / (prec + rec), TP, FP, FN
+
+
+class TestF1ReferenceMode:
+    def _random_image(self, rng, ncls):
+        nd = rng.integers(0, 12)
+        ng = rng.integers(0, 8)
+        def boxes(n):
+            xy = rng.uniform(0, 500, (n, 2))
+            wh = rng.uniform(1, 120, (n, 2))
+            return np.concatenate([xy, xy + wh], 1)
+        return (
+            boxes(nd),
+            rng.uniform(0, 1, nd),
+            rng.integers(0, ncls, nd),
+            boxes(ng),
+            rng.integers(0, ncls, ng),
+        )
+
+    def test_fuzz_vs_transcription(self):
+        rng = np.random.default_rng(0)
+        for trial in range(20):
+            ncls = int(rng.integers(1, 5))
+            images = [self._random_image(rng, ncls) for _ in range(6)]
+            ev = F1Evaluator(mode="reference")
+            for img_id, (db, ds, dc, gb, gc) in enumerate(images):
+                ev.process_image(img_id, db, ds, dc, gb, gc)
+            got = ev.evaluate()
+            want_f1, tp, fp, fn = _oracle_reference_f1(images, ncls)
+            assert (ev.tp, ev.fp, ev.fn) == (tp, fp, fn), f"trial {trial}"
+            assert abs(got["F1"] - want_f1) < 1e-12
+            assert got["F1_mode"] == "reference"
+
+    def test_top5_cap_and_int_cast(self):
+        # 7 dets above score thresh on one gt: reference counts only top 5,
+        # so FP = 4 (5 kept - 1 TP); greedy counts all 7, FP = 6.
+        db = np.array([box(0, 0, 10, 10)] * 7, np.float64)
+        db[1:] += np.arange(1, 7)[:, None] * 30.0  # move 6 away from the gt
+        ds = np.linspace(0.95, 0.6, 7)
+        dc = np.zeros(7, int)
+        gb, gc = np.array([box(0, 0, 10, 10)]), np.array([0])
+        ref = F1Evaluator(mode="reference")
+        ref.process_image(1, db, ds, dc, gb, gc)
+        assert (ref.tp, ref.fp, ref.fn) == (1, 4, 0)
+        gr = F1Evaluator(mode="greedy")
+        gr.process_image(1, db, ds, dc, gb, gc)
+        assert (gr.tp, gr.fp, gr.fn) == (1, 6, 0)
+        # int32 cast: a det at 0.6-pixel offset snaps onto the gt grid
+        db2 = np.array([[0.6, 0.6, 10.6, 10.6]])
+        ref2 = F1Evaluator(mode="reference")
+        ref2.process_image(1, db2, np.array([0.9]), np.array([0]), gb, gc)
+        # int cast -> [0,0,10,10]: IoU 1.0 -> TP
+        assert (ref2.tp, ref2.fp, ref2.fn) == (1, 0, 0)
+
+    def test_strict_threshold(self):
+        # +1 convention: 10x10 box = 11x11 pixels; iou must be STRICTLY > 0.5
+        gb, gc = np.array([box(0, 0, 10, 10)], np.float64), np.array([0])
+        # det sharing exactly half+eps area via the +1 convention
+        db = np.array([[0, 0, 10, 4]], np.float64)  # inter 11*5=55, union 121+55-55=121
+        ev = F1Evaluator(mode="reference")
+        ev.process_image(1, db, np.array([0.9]), np.array([0]), gb, gc)
+        assert ev.tp == 0 and ev.fp == 1 and ev.fn == 1

@@ -94,3 +94,113 @@ class TestAdainImport:
         assert set(params) == set(ref)
         for name in ref:
             assert params[name]["kernel"].shape == ref[name]["kernel"].shape, name
+
+
+class TestAdainTorchDifferential:
+    """Transplant RANDOM torch weights through import_adain_* and assert
+    forward parity against a torch replica of the reference nets
+    (net.py:6-35 decoder, :38-69 vgg through relu4_1) — closes the
+    silent-wrong-mapping failure mode (a bad key/layout mapping would still
+    "work" via the random-init fallback in the SFAT trainer)."""
+
+    @staticmethod
+    def _torch_nets():
+        import torch.nn as nn
+
+        # the reference's vgg, truncated at relu4_1 (net.py:38-69 modules
+        # [0:31]) — Sequential indices are the checkpoint key contract
+        vgg = nn.Sequential(
+            nn.Conv2d(3, 3, 1),
+            nn.ReflectionPad2d(1), nn.Conv2d(3, 64, 3), nn.ReLU(),
+            nn.ReflectionPad2d(1), nn.Conv2d(64, 64, 3), nn.ReLU(),
+            nn.MaxPool2d(2, 2, ceil_mode=True),
+            nn.ReflectionPad2d(1), nn.Conv2d(64, 128, 3), nn.ReLU(),
+            nn.ReflectionPad2d(1), nn.Conv2d(128, 128, 3), nn.ReLU(),
+            nn.MaxPool2d(2, 2, ceil_mode=True),
+            nn.ReflectionPad2d(1), nn.Conv2d(128, 256, 3), nn.ReLU(),
+            nn.ReflectionPad2d(1), nn.Conv2d(256, 256, 3), nn.ReLU(),
+            nn.ReflectionPad2d(1), nn.Conv2d(256, 256, 3), nn.ReLU(),
+            nn.ReflectionPad2d(1), nn.Conv2d(256, 256, 3), nn.ReLU(),
+            nn.MaxPool2d(2, 2, ceil_mode=True),
+            nn.ReflectionPad2d(1), nn.Conv2d(256, 512, 3), nn.ReLU(),
+        )
+        decoder = nn.Sequential(
+            nn.ReflectionPad2d(1), nn.Conv2d(512, 256, 3), nn.ReLU(),
+            nn.Upsample(scale_factor=2, mode="nearest"),
+            nn.ReflectionPad2d(1), nn.Conv2d(256, 256, 3), nn.ReLU(),
+            nn.ReflectionPad2d(1), nn.Conv2d(256, 256, 3), nn.ReLU(),
+            nn.ReflectionPad2d(1), nn.Conv2d(256, 256, 3), nn.ReLU(),
+            nn.ReflectionPad2d(1), nn.Conv2d(256, 128, 3), nn.ReLU(),
+            nn.Upsample(scale_factor=2, mode="nearest"),
+            nn.ReflectionPad2d(1), nn.Conv2d(128, 128, 3), nn.ReLU(),
+            nn.ReflectionPad2d(1), nn.Conv2d(128, 64, 3), nn.ReLU(),
+            nn.Upsample(scale_factor=2, mode="nearest"),
+            nn.ReflectionPad2d(1), nn.Conv2d(64, 64, 3), nn.ReLU(),
+            nn.ReflectionPad2d(1), nn.Conv2d(64, 3, 3),
+        )
+        return vgg, decoder
+
+    def test_stylize_matches_torch(self):
+        import torch
+        import torch.nn.functional as F
+
+        from simple_sfod_tpu.checkpoint.torch_import import (
+            import_adain_decoder,
+            import_adain_encoder,
+        )
+        from simple_sfod_tpu.models.style_transfer import StyleTransfer
+
+        torch.manual_seed(7)
+        vgg, dec = self._torch_nets()
+        enc_params = import_adain_encoder(
+            {k: v.numpy() for k, v in vgg.state_dict().items()}
+        )
+        dec_params = import_adain_decoder(
+            {k: v.numpy() for k, v in dec.state_dict().items()}
+        )
+
+        rs = np.random.RandomState(4)
+        content = rs.uniform(0, 255, (2, 32, 32, 3)).astype(np.float32)
+        # style image at content size so stylize()'s resize is the identity
+        style_img = rs.uniform(0, 1, (32, 32, 3)).astype(np.float32)
+
+        st = StyleTransfer(
+            {"params": enc_params}, {"params": dec_params},
+            jnp.asarray(style_img), use_coral=False,
+        )
+        out_j = np.asarray(jax.jit(st.stylize)(jnp.asarray(content)))
+
+        # torch transcription of StyleTransfer.style_transfer (style.py:100-137
+        # with alpha=1): encode both, AdaIN (unbiased var, :57), decode
+        def to_t(x_nhwc):
+            return torch.from_numpy(np.ascontiguousarray(x_nhwc.transpose(0, 3, 1, 2)))
+
+        with torch.no_grad():
+            f_c = vgg(to_t(content / 255.0))
+            f_s = vgg(to_t(np.broadcast_to(style_img[None], content.shape)))
+            n, c = f_c.shape[:2]
+            cm = f_c.reshape(n, c, -1).mean(2).view(n, c, 1, 1)
+            cs = (f_c.reshape(n, c, -1).var(2) + 1e-5).sqrt().view(n, c, 1, 1)
+            sm = f_s.reshape(n, c, -1).mean(2).view(n, c, 1, 1)
+            ss = (f_s.reshape(n, c, -1).var(2) + 1e-5).sqrt().view(n, c, 1, 1)
+            out_t = dec((f_c - cm) / cs * ss + sm)
+        out_t = np.clip(out_t.numpy().transpose(0, 2, 3, 1), 0.0, 1.0) * 255.0
+
+        np.testing.assert_allclose(out_j, out_t, rtol=1e-4, atol=5e-3)
+
+    def test_encoder_matches_torch(self):
+        import torch
+
+        from simple_sfod_tpu.checkpoint.torch_import import import_adain_encoder
+        from simple_sfod_tpu.models.style_transfer import StyleEncoder
+
+        torch.manual_seed(8)
+        vgg, _ = self._torch_nets()
+        params = import_adain_encoder({k: v.numpy() for k, v in vgg.state_dict().items()})
+        x = np.random.RandomState(5).uniform(0, 1, (1, 16, 24, 3)).astype(np.float32)
+        f_j = np.asarray(StyleEncoder().apply({"params": params}, jnp.asarray(x)))
+        with torch.no_grad():
+            f_t = vgg(torch.from_numpy(np.ascontiguousarray(x.transpose(0, 3, 1, 2))))
+        np.testing.assert_allclose(
+            f_j, f_t.numpy().transpose(0, 2, 3, 1), rtol=1e-4, atol=1e-5
+        )

@@ -135,3 +135,185 @@ class TestMosaicGeometry:
         # source1's box [2,24,12,31] shifts by (+cx, -16) = [34, 8, 44, 15]
         np.testing.assert_allclose(mb[1], [34, 8, 44, 15])
         assert mv[1]
+
+
+# ---------------------------------------------------------------------------
+# YOLOX random_affine: goldens vs numpy transcriptions of
+# yolox/data/data_augment.py get_affine_matrix / apply_affine_to_bboxes /
+# cv2.warpAffine(INTER_LINEAR, borderValue=114). The reference constructs
+# these knobs (ref mosaic.py:44-45) but the call is commented out
+# (mosaic.py:196-206) — see data/mosaic.py.
+# ---------------------------------------------------------------------------
+import math
+
+from simple_sfod_tpu.data.mosaic import (
+    affine_boxes,
+    affine_matrix,
+    affine_warp,
+    random_affine_batch,
+    sample_affine_params,
+)
+
+
+def np_yolox_matrix(angle, scale, shear_x, shear_y, tx, ty):
+    rad = math.radians(angle)
+    a, b = scale * math.cos(rad), scale * math.sin(rad)
+    R = np.array([[a, b, 0.0], [-b, a, 0.0]])
+    M = np.ones((2, 3))
+    M[0] = R[0] + math.tan(math.radians(shear_y)) * R[1]
+    M[1] = R[1] + math.tan(math.radians(shear_x)) * R[0]
+    M[0, 2], M[1, 2] = tx, ty
+    return M
+
+
+def np_yolox_boxes(targets, M, tw, th):
+    n = len(targets)
+    pts = np.ones((4 * n, 3))
+    pts[:, :2] = targets[:, [0, 1, 2, 3, 0, 3, 2, 1]].reshape(4 * n, 2)
+    pts = pts @ M.T
+    pts = pts.reshape(n, 8)
+    xs, ys = pts[:, 0::2], pts[:, 1::2]
+    nb = np.stack([xs.min(1), ys.min(1), xs.max(1), ys.max(1)], 1)
+    nb[:, 0::2] = nb[:, 0::2].clip(0, tw)
+    nb[:, 1::2] = nb[:, 1::2].clip(0, th)
+    return nb
+
+
+def np_affine_warp(img, M, pad=114.0):
+    h, w = img.shape[:2]
+    inv = np.linalg.inv(M[:, :2])
+    out = np.zeros(img.shape, np.float64)
+    for y in range(h):
+        for x in range(w):
+            sx, sy = inv @ (np.array([x, y], np.float64) - M[:, 2])
+            x0, y0 = math.floor(sx), math.floor(sy)
+            fx, fy = sx - x0, sy - y0
+
+            def px(yy, xx):
+                if 0 <= xx <= w - 1 and 0 <= yy <= h - 1:
+                    return img[yy, xx].astype(np.float64)
+                return np.full(img.shape[-1], pad)
+
+            top = px(y0, x0) * (1 - fx) + px(y0, x0 + 1) * fx
+            bot = px(y0 + 1, x0) * (1 - fx) + px(y0 + 1, x0 + 1) * fx
+            out[y, x] = top * (1 - fy) + bot * fy
+    return out
+
+
+class TestRandomAffine:
+    def test_matrix_matches_yolox_construction(self):
+        rs = np.random.RandomState(3)
+        for _ in range(10):
+            p = (
+                rs.uniform(-10, 10),     # angle
+                rs.uniform(0.5, 1.5),    # scale
+                rs.uniform(-2, 2),       # shear_x
+                rs.uniform(-2, 2),       # shear_y
+                rs.uniform(20, 40),      # tx
+                rs.uniform(10, 30),      # ty
+            )
+            got = np.asarray(affine_matrix(*[jnp.float32(v) for v in p]))
+            np.testing.assert_allclose(got, np_yolox_matrix(*p), rtol=2e-6, atol=2e-6)
+
+    def test_boxes_match_yolox_transcription(self):
+        rs = np.random.RandomState(4)
+        boxes = np.sort(rs.uniform(0, 60, (8, 2, 2)), axis=2).transpose(0, 2, 1).reshape(8, 4)
+        boxes = boxes[:, [0, 2, 1, 3]]  # x1,y1,x2,y2 with x1<x2, y1<y2
+        M = np_yolox_matrix(7.0, 1.2, 1.5, -1.0, 11.0, -3.0)
+        got = np.asarray(affine_boxes(jnp.asarray(boxes, jnp.float32), jnp.asarray(M, jnp.float32), 64, 48))
+        np.testing.assert_allclose(got, np_yolox_boxes(boxes, M, 64, 48), rtol=1e-5, atol=1e-4)
+
+    def test_warp_identity_and_translation(self):
+        img = jnp.asarray(np.random.RandomState(5).uniform(0, 255, (10, 14, 3)), jnp.float32)
+        ident = jnp.asarray([[1.0, 0, 0], [0, 1.0, 0]])
+        np.testing.assert_allclose(np.asarray(affine_warp(img, ident)), np.asarray(img), atol=1e-4)
+        # integer translation by (3, 2): dst(x,y) = src(x-3, y-2), border 114
+        tr = jnp.asarray([[1.0, 0, 3.0], [0, 1.0, 2.0]])
+        got = np.asarray(affine_warp(img, tr))
+        np.testing.assert_allclose(got[2:, 3:], np.asarray(img)[:-2, :-3], atol=1e-4)
+        np.testing.assert_allclose(got[:2, :], 114.0)
+        np.testing.assert_allclose(got[:, :3], 114.0)
+
+    def test_warp_matches_numpy_oracle(self):
+        rs = np.random.RandomState(6)
+        img = rs.uniform(0, 255, (12, 16, 3)).astype(np.float32)
+        M = np_yolox_matrix(9.0, 0.8, 2.0, -1.5, 6.0, 4.0)
+        got = np.asarray(affine_warp(jnp.asarray(img), jnp.asarray(M, jnp.float32)))
+        want = np_affine_warp(img, M)
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=2e-3)
+
+    def test_batch_wrapper_centered_frame(self):
+        """random_affine_batch composes M with a center pre-shift; replaying
+        the same sampled params through the numpy transcription must match."""
+        b, h, w = 2, 12, 16
+        rng = jax.random.key(7)
+        images = jnp.asarray(np.random.RandomState(7).uniform(0, 255, (b, h, w, 3)), jnp.float32)
+        gt = _batched_instances(
+            np.asarray([[[2, 2, 9, 8]], [[1, 3, 12, 10]]], np.float32),
+            np.zeros((b, 1), np.int32),
+        )
+        out, ngt = random_affine_batch(rng, images, gt, degrees=10.0, translate=0.1, scales=(0.5, 1.5), shear=2.0)
+        rngs = jax.random.split(rng, b)
+        for i in range(b):
+            p = [float(v) for v in sample_affine_params(rngs[i], (w, h), 10.0, 0.1, (0.5, 1.5), 2.0)]
+            M = np_yolox_matrix(*p)
+            Me = M.copy()
+            Me[:, 2] -= M[:, :2] @ np.array([w / 2.0, h / 2.0])
+            np.testing.assert_allclose(
+                np.asarray(out[i]), np_affine_warp(np.asarray(images[i], np.float64), Me), rtol=1e-4, atol=2e-3
+            )
+            np.testing.assert_allclose(
+                np.asarray(ngt.boxes[i]), np_yolox_boxes(np.asarray(gt.boxes[i], np.float64), Me, w, h), rtol=1e-4, atol=1e-3
+            )
+
+
+class TestMixupLiveSemantics:
+    def test_companion_flip_matches_prediction(self):
+        """flip=True: companions flip with p=1/2 about the FULL canvas width
+        (reference mixup.py:174,225-227); the bernoulli stream is
+        fold_in(rng, 0), so the test can predict which images flipped."""
+        b, h, w = 4, 8, 16
+        rng = jax.random.key(11)
+        rs = np.random.RandomState(11)
+        images = jnp.asarray(rs.uniform(0, 255, (b, h, w, 3)), jnp.float32)
+        boxes = np.asarray([[[1, 1, 4, 4]], [[2, 0, 6, 5]], [[0, 2, 3, 7]], [[5, 1, 9, 6]]], np.float32)
+        gt = _batched_instances(boxes, np.zeros((b, 1), np.int32))
+        out, merged = mixup_batch(rng, images, gt, flip=True)
+        do = np.asarray(jax.random.bernoulli(jax.random.fold_in(rng, 0), 0.5, (b,)))
+        other = np.roll(np.asarray(images), -1, axis=0)
+        oboxes = np.roll(boxes, -1, axis=0)
+        for i in range(b):
+            comp = other[i, :, ::-1, :] if do[i] else other[i]
+            np.testing.assert_allclose(np.asarray(out[i]), 0.5 * np.asarray(images[i]) + 0.5 * comp, rtol=1e-5)
+            bx = oboxes[i, 0]
+            want = [w - bx[2], bx[1], w - bx[0], bx[3]] if do[i] else bx
+            np.testing.assert_allclose(np.asarray(merged.boxes[i, 1]), want, rtol=1e-5)
+
+    def test_scale_jitter_half(self):
+        """scale_jitter=(0.5, 0.5): deterministic half-size companion about
+        the top-left (no crop offset), zero padding (reference mixup.py
+        np.zeros padded_img), boxes scaled by 0.5."""
+        b, h, w = 2, 8, 16
+        rng = jax.random.key(3)
+        images = jnp.zeros((b, h, w, 3), jnp.float32)
+        images = images.at[1, 0, 0].set(200.0)  # marker at companion origin
+        boxes = np.asarray([[[2, 2, 6, 6]], [[4, 2, 12, 8]]], np.float32)
+        gt = _batched_instances(boxes, np.zeros((b, 1), np.int32))
+        out, merged = mixup_batch(rng, images, gt, flip=False, scale_jitter=(0.5, 0.5))
+        # image 0's companion is image 1 halved: marker lands in the top-left
+        # 2x2 bilinear footprint, rest of the right/bottom half is zero pad
+        assert float(out[0, 0, 0, 0]) > 0
+        np.testing.assert_allclose(np.asarray(out[0, h // 2 + 1:, :, :]), 0.0, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(merged.boxes[0, 1]), boxes[1, 0] * 0.5, rtol=1e-5)
+
+    def test_identity_jitter_matches_plain(self):
+        b, h, w = 2, 8, 16
+        rng = jax.random.key(5)
+        rs = np.random.RandomState(5)
+        images = jnp.asarray(rs.uniform(0, 255, (b, h, w, 3)), jnp.float32)
+        boxes = np.asarray([[[1, 1, 5, 5]], [[3, 2, 9, 7]]], np.float32)
+        gt = _batched_instances(boxes, np.zeros((b, 1), np.int32))
+        out_j, m_j = mixup_batch(rng, images, gt, flip=False, scale_jitter=(1.0, 1.0))
+        out_p, m_p = mixup_batch(rng, images, gt, flip=False, scale_jitter=None)
+        np.testing.assert_allclose(np.asarray(out_j), np.asarray(out_p), atol=1e-3)
+        np.testing.assert_allclose(np.asarray(m_j.boxes), np.asarray(m_p.boxes), atol=1e-4)
