@@ -103,3 +103,89 @@ def test_sfat_step_8way_matches_1way():
     m2 = trainer.run_step(batch)
     assert np.isfinite(float(m2["total_loss"]))
     assert int(trainer.state.step) == 2
+
+
+def _topo_batch(seed: int):
+    """A deterministic 8-image supervised batch with GT (identical across
+    trainers so trajectories are comparable)."""
+    rs = np.random.RandomState(seed)
+    n, cap = 8, 8
+    boxes = np.zeros((n, cap, 4), np.float32)
+    classes = np.zeros((n, cap), np.int32)
+    valid = np.zeros((n, cap), bool)
+    for i in range(n):
+        k = 3
+        x1 = rs.uniform(0, 40, k)
+        y1 = rs.uniform(0, 20, k)
+        boxes[i, :k] = np.stack([x1, y1, x1 + rs.uniform(8, 20, k),
+                                 y1 + rs.uniform(6, 10, k)], axis=1)
+        classes[i, :k] = rs.randint(0, 8, k)
+        valid[i, :k] = True
+    return {
+        "images": rs.uniform(0, 255, (n, 32, 64, 3)).astype(np.float32),
+        "sizes": np.tile(np.asarray([[32, 64]], np.int32), (n, 1)),
+        "gt_boxes": boxes,
+        "gt_classes": classes,
+        "gt_valid": valid,
+    }
+
+
+def test_topology_change_restore(tmp_path):
+    """Resume-anywhere across mesh topologies (VERDICT r3 #7; reference
+    resume contract base.py:67-91): save under a 1-wide mesh, restore under
+    an 8-wide mesh — and the reverse — then continue one step. The resumed
+    trajectory must equal the uninterrupted single-mesh run: the checkpoint
+    is a host pytree and resume_or_load re-shards it onto the CURRENT
+    trainer's mesh (shard_state), so topology is a property of the run, not
+    of the checkpoint."""
+    import jax
+    import __graft_entry__ as g
+    from simple_sfod_tpu.engine.trainers import build_trainer
+
+    b1, b2 = _topo_batch(3), _topo_batch(4)
+
+    def make(ways, outdir):
+        cfg = g._tiny_cfg(ways, canvas=(32, 64), backbone="tiny")
+        cfg.TRAINER = "base"
+        cfg.SOLVER.IMS_PER_BATCH = 8  # same total batch on any mesh width
+        cfg.SOLVER.IMS_PER_BATCH_TARGET = 8
+        cfg.OUTPUT_DIR = str(outdir)
+        cfg.freeze()
+        return build_trainer(cfg, synthetic=True)
+
+    def params_of(tr):
+        p = tr.state.params
+        return jax.device_get(p["det"] if "det" in p else p)
+
+    # truth: uninterrupted 1-wide run, two steps
+    truth = make(1, tmp_path / "truth")
+    truth.run_step(b1)
+    truth.run_step(b2)
+    p_truth = params_of(truth)
+
+    for save_ways, load_ways in ((1, 8), (8, 1)):
+        outdir = tmp_path / f"{save_ways}to{load_ways}"
+        tr_a = make(save_ways, outdir)
+        tr_a.run_step(b1)
+        tr_a.checkpointer.save("model_0000001", tr_a.state)
+
+        tr_b = make(load_ways, outdir)
+        tr_b.resume_or_load(resume=True)
+        assert int(tr_b.state.step) == 1
+        # restored state must live on tr_b's mesh (every leaf addressable
+        # across its devices), not the saving trainer's
+        if load_ways > 1:
+            leaf = jax.tree.leaves(tr_b.state.params)[0]
+            assert leaf.sharding.mesh.devices.size == load_ways
+        # (on a 1-wide mesh shard_state is the identity: the restored host
+        # tree is placed lazily by the first jitted step)
+        tr_b.run_step(b2)
+        p_b = params_of(tr_b)
+        worst = max(
+            jax.tree.leaves(
+                jax.tree.map(lambda a, b: float(np.abs(a - b).max()), p_truth, p_b)
+            )
+        )
+        # same tolerance family as the 8v1 DP-equivalence above: the only
+        # noise source is cross-sharding reduction order
+        assert worst < 1e-6, (save_ways, load_ways, worst)
