@@ -353,6 +353,20 @@ class TorchLockstepTrainer:
         self.rpn_w = (1.0, 1.0, 1.0, 1.0)
         self.roi_w = (10.0, 10.0, 5.0, 5.0)
 
+    def _rpn_select(self, labels: torch.Tensor):
+        """RPN anchor selection hook: (selected mask, selected-positive mask).
+        Base = take-all contract (batch size >= #anchors selects everything);
+        TorchRealSamplingMirror overrides with d2 subsample_labels."""
+        return labels >= 0, labels == 1
+
+    def _roi_select(self, labels: torch.Tensor) -> torch.Tensor:
+        """ROI candidate selection hook: indices into the proposal pool.
+        Base = take-all contract; TorchRealSamplingMirror overrides."""
+        assert labels.shape[0] <= self.cfg.roi_batch_size_per_image, (
+            f"take-all contract violated: {labels.shape[0]} candidates"
+        )
+        return torch.arange(labels.shape[0])
+
     def _rpn_losses(self, obj, deltas, gt_boxes: List[torch.Tensor]):
         cfg = self.cfg
         b = obj.shape[0]
@@ -362,9 +376,8 @@ class TorchLockstepTrainer:
         for i in range(b):
             iou = pairwise_iou(gt_boxes[i], self.anchors)
             matched_idx, labels = match_boxes(iou, (0.3, 0.7), (0, -1, 1), True)
-            sel = labels >= 0  # take-all contract: batch size >= #anchors
-            pos = labels == 1
-            tgt = (labels == 1).float()
+            sel, pos = self._rpn_select(labels)
+            tgt = pos.float()  # == (labels == 1) on selected entries
             ce = F.binary_cross_entropy_with_logits(obj[i], tgt, reduction="none")
             loss_cls = loss_cls + (ce * sel.float()).sum() / normalizer
             matched_gt = gt_boxes[i][matched_idx] if gt_boxes[i].numel() else torch.zeros_like(self.anchors)
@@ -431,10 +444,8 @@ class TorchLockstepTrainer:
             pool = torch.cat([props, gtb[i]], dim=0)
             iou = pairwise_iou(gtb[i], pool)
             matched_idx, labels = match_boxes(iou, (0.5,), (0, 1), False)
-            # take-all: roi batch size >= #candidates, fraction 1.0
-            assert pool.shape[0] <= cfg.roi_batch_size_per_image, (
-                f"take-all contract violated: {pool.shape[0]} candidates"
-            )
+            keep = self._roi_select(labels)  # take-all: everything
+            pool, labels, matched_idx = pool[keep], labels[keep], matched_idx[keep]
             is_fg = labels == 1
             if gtb[i].numel():
                 cls = torch.where(is_fg, gtc[i][matched_idx], torch.tensor(cfg.num_classes))
@@ -595,3 +606,54 @@ class TorchSFATSingleMirror(TorchLockstepTrainer):
             np.concatenate([c.numpy() for c in pseudo_classes])
         ) if n_pseudo else np.zeros((0,), np.int64)
         return parts
+
+
+# ---------------------------------------------------------------------------
+# Real-sampling mirror (take-all OFF) for the endpoint train-to-AP A/B
+# ---------------------------------------------------------------------------
+
+
+class TorchRealSamplingMirror(TorchSFATSingleMirror):
+    """TorchLockstepTrainer with detectron2's REAL subsampling (the take-all
+    contract off): RPN anchors and ROI proposals are randomly subsampled per
+    d2 `subsample_labels` (num_pos = min(#pos, batch*fraction), num_neg fills
+    the rest, uniform without replacement) from a private torch RNG stream.
+    Used by tools/endpoint_ab.py — the two frameworks intentionally draw
+    DIFFERENT sampling streams, and only the trained-to endpoint (AP through
+    the same evaluator) is compared. Inherits detect() for eval."""
+
+    def __init__(self, model, cfg, anchors, lr, momentum, weight_decay,
+                 rpn_positive_fraction: float = 0.5,
+                 roi_positive_fraction: float = 0.25,
+                 sample_seed: int = 0):
+        super().__init__(model, cfg, anchors, lr=lr, momentum=momentum,
+                         weight_decay=weight_decay)
+        self.rpn_pos_frac = rpn_positive_fraction
+        self.roi_pos_frac = roi_positive_fraction
+        self.gen = torch.Generator().manual_seed(sample_seed)
+
+    def _subsample(self, labels: torch.Tensor, num: int, frac: float):
+        pos = (labels == 1).nonzero(as_tuple=True)[0]
+        neg = (labels == 0).nonzero(as_tuple=True)[0]
+        n_pos = min(pos.numel(), int(num * frac))
+        n_neg = min(neg.numel(), num - n_pos)
+        pos = pos[torch.randperm(pos.numel(), generator=self.gen)[:n_pos]]
+        neg = neg[torch.randperm(neg.numel(), generator=self.gen)[:n_neg]]
+        return pos, neg
+
+    def _rpn_select(self, labels):
+        pos, neg = self._subsample(
+            labels, self.cfg.rpn_batch_size_per_image, self.rpn_pos_frac
+        )
+        sel = torch.zeros(labels.shape[0], dtype=torch.bool)
+        sel[pos] = True
+        sel[neg] = True
+        posm = torch.zeros_like(sel)
+        posm[pos] = True
+        return sel, posm
+
+    def _roi_select(self, labels):
+        pos, neg = self._subsample(
+            labels, self.cfg.roi_batch_size_per_image, self.roi_pos_frac
+        )
+        return torch.cat([pos, neg])
