@@ -13,14 +13,25 @@ mixup.py). On TPU both become pure batched functions inside the jitted step:
   (mixup.py ~:40, the reference's fixed-lambda blend).
 
 
-KNOWN DEVIATION (static-canvas geometry): tiles are cropped from the PADDED
-canvases, so when images do not fill TPU.CANVAS (small multi-scale samples,
-outlier aspect ratios) a tile's center-facing corner can include the zero
-padding — regions the reference's mosaic (compositing raw unpadded images)
-would fill with pixels. With the standard configs (canvas sized to the
-single training scale, e.g. 600->608x1216) images fill the canvas to within
-a few pixels and the effect is nil; multi-scale users should size mosaics'
-canvas to the sampled scale or accept the padding bands.
+CONTENT-AWARE compositing: when per-image content sizes are passed (the
+trainers do), each source's CONTENT corner — not its padded-canvas corner —
+is pinned to the mosaic center, and mosaic regions no source content covers
+are filled with YOLOX's 114 gray (the reference's base canvas,
+mosaic.py:127 np.full(..., 114)). This closes the padding-band deviation
+that round 3 documented here: the content-blind composite (sizes=None)
+includes each canvas's zero padding in the tiles whenever images do not
+fill TPU.CANVAS, and tools/quantify_mosaic_padding.py measured that at
+fill=0.75 those bands collapse short-horizon learning (fit 27.6 AP50 vs
+padded 0.5 at 250 steps). With sizes == canvas the two formulations are
+pixel-identical (the in-bounds mask is all-true), matching the standard
+configs where images fill the canvas.
+
+Remaining deviation vs the reference's live mosaic: sources are composited
+at the loader's sampled scale (content dims), not re-upscaled to the mosaic
+canvas — identical when the loader's aspect-preserving min-fit resize is
+used (YOLOX's own scale rule), smaller content only under multi-scale
+`choice` sampling, where the gray fill takes the slack exactly like
+YOLOX's own aspect-mismatch fill.
 """
 
 from __future__ import annotations
@@ -40,8 +51,11 @@ def _mosaic_one(
     boxes4: jnp.ndarray,  # [4, N, 4]
     classes4: jnp.ndarray,  # [4, N]
     valid4: jnp.ndarray,  # [4, N]
+    sizes4: jnp.ndarray,  # [4, 2] (content h, content w) per source
+    pad_val: float = 114.0,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     h, w = images4.shape[1], images4.shape[2]
+    sh, sw = sizes4[:, 0], sizes4[:, 1]
     k1, k2 = jax.random.split(rng)
     cy = (jax.random.uniform(k1, (), minval=0.25, maxval=0.75) * h).astype(jnp.int32)
     cx = (jax.random.uniform(k2, (), minval=0.25, maxval=0.75) * w).astype(jnp.int32)
@@ -54,15 +68,25 @@ def _mosaic_one(
         is_top, jnp.where(is_left, 0, 1), jnp.where(is_left, 2, 3)
     )  # [H, W]
 
-    # Source offsets: each source's corner facing the center is pinned there.
-    # TL tile shows source0's bottom-right crop: src_y = y + (h - cy).
-    off_y = jnp.stack([h - cy, h - cy, -cy, -cy])  # add to dest y
-    off_x = jnp.stack([w - cx, -cx, w - cx, -cx])
-    src_y = jnp.clip(rows + off_y[tile], 0, h - 1)
-    src_x = jnp.clip(cols + off_x[tile], 0, w - 1)
+    # Source offsets: each source's CONTENT corner facing the center is
+    # pinned there (content is top-left anchored, so its top/left edges are 0
+    # and its bottom/right edges are sh/sw). TL tile shows source0's
+    # bottom-right content crop: src_y = y + (sh0 - cy).
+    off_y = jnp.stack([sh[0] - cy, sh[1] - cy, -cy, -cy])  # add to dest y
+    off_x = jnp.stack([sw[0] - cx, -cx, sw[2] - cx, -cx])
+    raw_y = rows + off_y[tile]
+    raw_x = cols + off_x[tile]
+    src_y = jnp.clip(raw_y, 0, h - 1)
+    src_x = jnp.clip(raw_x, 0, w - 1)
     flat_idx = (tile * h + src_y) * w + src_x  # [H, W]
     flat_src = images4.reshape(4 * h * w, 3)
     out = jnp.take(flat_src, flat_idx.reshape(-1), axis=0).reshape(h, w, 3)
+    # Regions the source content does not cover read the YOLOX gray base
+    # canvas (reference mosaic.py:127). All-true when content == canvas.
+    inb = (
+        (raw_y >= 0) & (raw_y < sh[tile]) & (raw_x >= 0) & (raw_x < sw[tile])
+    )
+    out = jnp.where(inb[..., None], out, jnp.asarray(pad_val, out.dtype))
 
     # Boxes: shift each source's boxes by -offset, clip to its tile rect.
     tile_x1 = jnp.stack([0, cx, 0, cx]).astype(jnp.float32)
@@ -91,10 +115,16 @@ def _mosaic_one(
     )
 
 
-def mosaic_batch(rng: jax.Array, images, gt: Instances):
-    """images [B, H, W, 3]; gt batched Instances [B, N]. Returns (images,
-    Instances [B, 4N]). Output i composites inputs (i, i+1, i+2, i+3 mod B)."""
+def mosaic_batch(rng: jax.Array, images, gt: Instances, sizes=None, pad_val: float = 114.0):
+    """images [B, H, W, 3]; gt batched Instances [B, N]; sizes [B, 2] content
+    (h, w) per image for content-aware compositing (None = content fills the
+    canvas, the content-blind legacy composite). Returns (images, Instances
+    [B, 4N]). Output i composites inputs (i, i+1, i+2, i+3 mod B)."""
     b = images.shape[0]
+    if sizes is None:
+        sizes = jnp.broadcast_to(
+            jnp.asarray(images.shape[1:3], jnp.int32), (b, 2)
+        )
 
     def gather4(x):
         return jnp.stack([jnp.roll(x, -k, axis=0) for k in range(4)], axis=1)
@@ -103,10 +133,11 @@ def mosaic_batch(rng: jax.Array, images, gt: Instances):
     boxes4 = gather4(gt.boxes)
     classes4 = gather4(gt.classes)
     valid4 = gather4(gt.valid)
+    sizes4 = gather4(jnp.asarray(sizes, jnp.int32))
     rngs = jax.random.split(rng, b)
-    out, boxes, classes, valid = jax.vmap(_mosaic_one)(
-        rngs, images4, boxes4, classes4, valid4
-    )
+    out, boxes, classes, valid = jax.vmap(
+        lambda r, i4, b4, c4, v4, s4: _mosaic_one(r, i4, b4, c4, v4, s4, pad_val)
+    )(rngs, images4, boxes4, classes4, valid4, sizes4)
     return out, Instances(
         boxes=boxes, scores=jnp.ones_like(classes, jnp.float32), classes=classes, valid=valid
     )

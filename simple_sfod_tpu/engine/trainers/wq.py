@@ -50,7 +50,10 @@ class WQTrainer(BaseTrainer):
             rng_flip, rng_mix, rng_strong, rng_loss = jax.random.split(rng, 4)
             images, gt = apply_weak_aug(rng_flip, images, sizes, gt, flip)
             if aug in ("mosaic", "mosaic_wq"):
-                images, gt = mosaic_batch(rng_mix, images, gt)
+                # content-aware composite: each source's CONTENT corner pins
+                # to the mosaic center (sizes carries the unpadded dims), so
+                # canvas padding never enters the tiles — see data/mosaic.py
+                images, gt = mosaic_batch(rng_mix, images, gt, sizes=sizes)
                 if affine:
                     images, gt = random_affine_batch(
                         jax.random.fold_in(rng_mix, 1), images, gt, **affine_kw

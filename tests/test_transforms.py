@@ -136,6 +136,87 @@ class TestMosaicGeometry:
         np.testing.assert_allclose(mb[1], [34, 8, 44, 15])
         assert mv[1]
 
+    def test_content_aware_exact_fit(self):
+        """With content (16, 32) on a (32, 64) canvas and the center fixed at
+        (16, 32), every tile maps exactly onto its source's content: the
+        composite contains NO padding and NO gray fill."""
+        h, w = 32, 64
+        images = np.zeros((4, h, w, 3), np.float32)
+        for i, v in enumerate((10, 20, 30, 40)):
+            images[i, :16, :32] = v  # content top-left anchored; padding 0
+        boxes = np.zeros((4, 1, 4), np.float32)
+        boxes[0, 0] = [2, 2, 6, 6]
+        gt = _batched_instances(boxes, np.zeros((4, 1), np.int32))
+        sizes = jnp.broadcast_to(jnp.asarray([16, 32], jnp.int32), (4, 2))
+
+        from simple_sfod_tpu.data import mosaic as M
+
+        orig = jax.random.uniform
+        try:
+            jax.random.uniform = lambda *a, **k: jnp.asarray(0.5)
+            out, merged = M.mosaic_batch(
+                jax.random.key(0), jnp.asarray(images), gt, sizes=sizes
+            )
+        finally:
+            jax.random.uniform = orig
+        img0 = np.asarray(out[0])
+        assert img0[8, 16, 0] == 10 and img0[8, 48, 0] == 20
+        assert img0[24, 16, 0] == 30 and img0[24, 48, 0] == 40
+        assert not np.isin(img0, [0.0, 114.0]).any()  # no padding, no gray
+        # source0 box [2,2,6,6] shifts by (cx - sw, cy - sh) = (0, 0): the
+        # content's bottom-right corner already sits at the center
+        mb = np.asarray(merged.boxes[0])
+        np.testing.assert_allclose(mb[0], [2, 2, 6, 6])
+        assert np.asarray(merged.valid[0])[0]
+
+    def test_content_aware_gray_fill_and_no_padding_leak(self):
+        """Content smaller than the tiles: uncovered regions read YOLOX gray
+        (114), never the canvas's zero padding; boxes shift by the
+        content-aware offset."""
+        h, w = 32, 64
+        images = np.zeros((4, h, w, 3), np.float32)
+        for i, v in enumerate((10, 20, 30, 40)):
+            images[i, :8, :16] = v  # fill 0.25
+        boxes = np.zeros((4, 1, 4), np.float32)
+        boxes[0, 0] = [2, 2, 6, 6]
+        gt = _batched_instances(boxes, np.zeros((4, 1), np.int32))
+        sizes = jnp.broadcast_to(jnp.asarray([8, 16], jnp.int32), (4, 2))
+
+        from simple_sfod_tpu.data import mosaic as M
+
+        orig = jax.random.uniform
+        try:
+            jax.random.uniform = lambda *a, **k: jnp.asarray(0.5)
+            out, merged = M.mosaic_batch(
+                jax.random.key(0), jnp.asarray(images), gt, sizes=sizes
+            )
+        finally:
+            jax.random.uniform = orig
+        img0 = np.asarray(out[0])
+        # TL tile: dest rows 8..15 x cols 16..31 show source0 content,
+        # the rest of the tile is gray
+        assert img0[12, 20, 0] == 10
+        assert img0[4, 20, 0] == 114 and img0[12, 4, 0] == 114
+        assert (img0 != 0.0).all()  # zero padding never leaks
+        # source0 box [2,2,6,6] shifts by (cx - sw, cy - sh) = (16, 8)
+        np.testing.assert_allclose(np.asarray(merged.boxes[0])[0], [18, 10, 22, 14])
+        assert np.asarray(merged.valid[0])[0]
+
+    def test_content_aware_random_centers_never_leak_padding(self):
+        """Across random centers, composite pixels are only {content, gray}."""
+        h, w = 32, 64
+        images = np.zeros((8, h, w, 3), np.float32)
+        images[:, :24, :48] = 200.0  # fill 0.75, padding 0
+        gt = _batched_instances(
+            np.tile(np.asarray([[[4, 4, 20, 20]]], np.float32), (8, 1, 1)),
+            np.zeros((8, 1), np.int32),
+        )
+        sizes = jnp.broadcast_to(jnp.asarray([24, 48], jnp.int32), (8, 2))
+        for s in range(4):
+            out, _ = mosaic_batch(jax.random.key(s), jnp.asarray(images), gt, sizes=sizes)
+            vals = np.unique(np.asarray(out))
+            assert set(vals.tolist()) <= {114.0, 200.0}, vals
+
 
 # ---------------------------------------------------------------------------
 # YOLOX random_affine: goldens vs numpy transcriptions of
