@@ -16,12 +16,18 @@ from typing import Dict, List
 def load_coco_json(
     json_file: str,
     image_root: str,
-    filter_empty: bool = True,
+    filter_empty: bool = False,
 ) -> Dict:
     """Returns {'records': [...], 'thing_classes': [...], 'id_map': {...}}.
 
     Each record: {file_name, height, width, image_id,
                   boxes: [[x1,y1,x2,y2], ...], classes: [contiguous ids]}.
+
+    filter_empty defaults to False like d2's load_coco_json: dropping
+    no-annotation images is a TRAIN-loader decision
+    (DATALOADER.FILTER_EMPTY_ANNOTATIONS, applied in data/loader.py) — at
+    eval time every image must be scored, or false positives on empty
+    images would never be counted (ref build.py:118 filter_empty=False).
     """
     with open(json_file) as f:
         coco = json.load(f)

@@ -371,6 +371,11 @@ def build_train_loader(cfg, dataset_names=None, batch_size=None, seed=None, labe
     records = []
     for name in names:
         records.extend(get_dataset(name)["records"])
+    if cfg.DATALOADER.FILTER_EMPTY_ANNOTATIONS:
+        # d2's get_detection_dataset_dicts filters no-annotation images for
+        # TRAIN loaders only (ref build.py:62), BEFORE the sup-percent split;
+        # test loaders keep every image (ref build.py:118 filter_empty=False)
+        records = [r for r in records if len(r.get("boxes", ()))]
     sup = float(cfg.DATALOADER.SUP_PERCENT)
     if sup < 100.0:
         lab, unlab = divide_label_unlabel(records, sup, cfg.DATALOADER.RANDOM_DATA_SEED)

@@ -150,6 +150,7 @@ def mixup_batch(
     alpha: float = 0.5,
     flip: bool = True,
     scale_jitter=None,
+    sizes=None,
 ):
     """0.5/0.5 blend with the rolled batch; GT concatenated ([B, 2N]).
 
@@ -163,12 +164,35 @@ def mixup_batch(
     this factor (mixup.py:173) but then overwrites it with 1 (mixup.py:210
     `jit_factor = 1`), so it is DEAD there; default None matches the live
     reference. Downscale pads with 0 (reference np.zeros padded_img :230-233).
+
+    sizes [B, 2]: per-image content (h, w) for CONTENT-AWARE mixing, the
+    reference's geometry (mixup.py:188-245): the companion's canvas padding
+    reads as 114 gray (the reference pastes the companion onto a gray
+    input_dim canvas, :188), the gray canvas is flipped whole, a random crop
+    offset samples the companion window when the canvas exceeds the origin
+    frame (:236-241 randint(0, diff-1)), the blend covers only the origin
+    frame (the reference's origin_img IS its frame), and companion GT is
+    clipped to the frame (adjust_box_anns). With sizes=None (or content ==
+    canvas: frame = canvas, zero offsets, all-true masks) this reduces to
+    the plain full-canvas blend — otherwise the companion's ZERO padding
+    would be blended at (1-alpha) over real content and its GT would land
+    outside the origin's declared valid region.
     """
     b, h, w = images.shape[0], images.shape[1], images.shape[2]
     other_images = jnp.roll(images, -1, axis=0)
     other = jax.tree.map(lambda x: jnp.roll(x, -1, axis=0), gt)
     oboxes = other.boxes
     ovalid = other.valid
+
+    if sizes is not None:
+        sizes = jnp.asarray(sizes, jnp.int32)
+        s_c = jnp.roll(sizes, -1, axis=0)  # companion content dims
+        yy = jnp.arange(h)[None, :, None]
+        xx = jnp.arange(w)[None, None, :]
+        in_content = (yy < s_c[:, 0][:, None, None]) & (xx < s_c[:, 1][:, None, None])
+        other_images = jnp.where(
+            in_content[..., None], other_images, jnp.asarray(114.0, other_images.dtype)
+        )
 
     if scale_jitter is not None:
         lo, hi = scale_jitter
@@ -196,6 +220,41 @@ def mixup_batch(
         )
         other_images = jnp.where(do[:, None, None, None], flipped, other_images)
         oboxes = jnp.where(do[:, None, None], fboxes, oboxes)
+
+    if sizes is not None:
+        # crop the companion canvas to the origin frame at a random offset
+        # (reference mixup.py:236-241), blend only inside the frame
+        def crop_one(rng_i, img, boxes, frame_hw):
+            ky, kx = jax.random.split(rng_i)
+            y_off = jax.random.randint(ky, (), 0, jnp.maximum(h - frame_hw[0], 1))
+            x_off = jax.random.randint(kx, (), 0, jnp.maximum(w - frame_hw[1], 1))
+            ys = jnp.clip(jnp.arange(h) + y_off, 0, h - 1)
+            xs = jnp.clip(jnp.arange(w) + x_off, 0, w - 1)
+            shifted = img[ys][:, xs]
+            in_frame = (jnp.arange(h)[:, None] < frame_hw[0]) & (
+                jnp.arange(w)[None, :] < frame_hw[1]
+            )
+            # zero outside the frame: the blend must leave the origin's own
+            # padding untouched (alpha*0 + (1-alpha)*0)
+            comp = jnp.where(in_frame[..., None], shifted, jnp.zeros((), img.dtype))
+            offs = jnp.stack([x_off, y_off, x_off, y_off]).astype(boxes.dtype)
+            bx = boxes - offs
+            fw = frame_hw[1].astype(boxes.dtype)
+            fh = frame_hw[0].astype(boxes.dtype)
+            bx = jnp.stack(
+                [
+                    jnp.clip(bx[..., 0], 0, fw),
+                    jnp.clip(bx[..., 1], 0, fh),
+                    jnp.clip(bx[..., 2], 0, fw),
+                    jnp.clip(bx[..., 3], 0, fh),
+                ],
+                axis=-1,
+            )
+            return comp, bx
+
+        rc = jax.random.split(jax.random.fold_in(rng, 2), b)
+        other_images, oboxes = jax.vmap(crop_one)(rc, other_images, oboxes, sizes)
+        ovalid = ovalid & nonempty(oboxes, 2.0)
 
     out = images * alpha + other_images * (1.0 - alpha)
     merged = Instances(

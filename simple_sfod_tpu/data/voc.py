@@ -33,16 +33,24 @@ def load_voc_instances(
     dirname: str,
     split: str,
     class_names: Sequence[str],
-    filter_empty: bool = True,
+    filter_empty: bool = False,
 ) -> Dict:
     """Returns {'records': [...], 'thing_classes': [...], 'id_map': {...}}.
 
     Box semantics follow d2's load_voc_instances: VOC annotations are 1-based
     inclusive pixel indices, so xmin/ymin get -1 to land in [0, W) coordinate
-    space; "difficult" objects are kept. image_id is the dense index of the
-    file id within the split file (the eval loop requires integer ids); the
-    VOC file id is kept as 'voc_id'. Objects whose class name is outside
-    class_names are skipped (the 6-class subsets)."""
+    space; "difficult" objects are kept WITH their flag (records carry a
+    'difficult' list — d2's voc_eval excludes difficult GT from the AP
+    denominator and ignores detections matched to them). image_id is the
+    dense index of the file id within the split file (the eval loop requires
+    integer ids); the VOC file id is kept as 'voc_id'. Objects whose class
+    name is outside class_names are skipped (the 6-class subsets).
+
+    filter_empty defaults to False like d2's dataset loading: dropping
+    no-annotation images is a TRAIN-loader decision
+    (DATALOADER.FILTER_EMPTY_ANNOTATIONS, applied in data/loader.py) — at
+    eval time every split image must be scored or false positives on empty
+    images would never be counted (ref build.py:118 filter_empty=False)."""
     class_index = {n: i for i, n in enumerate(class_names)}
     split_file = os.path.join(dirname, "ImageSets", "Main", f"{split}.txt")
     with open(split_file) as f:
@@ -54,7 +62,7 @@ def load_voc_instances(
         tree = ET.parse(ann_file)
         height = int(tree.findall("./size/height")[0].text)
         width = int(tree.findall("./size/width")[0].text)
-        boxes, classes = [], []
+        boxes, classes, difficult = [], [], []
         for obj in tree.findall("object"):
             cls = obj.find("name").text
             if cls not in class_index:
@@ -65,6 +73,8 @@ def load_voc_instances(
             )
             boxes.append([x1 - 1.0, y1 - 1.0, x2, y2])
             classes.append(class_index[cls])
+            diff = obj.find("difficult")
+            difficult.append(int(diff.text) if diff is not None else 0)
         if filter_empty and not boxes:
             continue
         records.append(
@@ -76,6 +86,7 @@ def load_voc_instances(
                 "voc_id": fileid,
                 "boxes": boxes,
                 "classes": classes,
+                "difficult": difficult,
             }
         )
     return {

@@ -62,8 +62,16 @@ class WQTrainer(BaseTrainer):
                     jnp.asarray(images.shape[1:3], jnp.int32), sizes.shape
                 )
             elif aug == "mixup":
+                # content-aware: companion padding reads gray, blend covers
+                # only the origin frame, companion GT clips to it — matches
+                # the reference's gray-canvas + crop geometry (mixup.py:188-245)
                 images, gt = mixup_batch(
-                    rng_mix, images, gt, flip=mixup_flip, scale_jitter=mixup_jitter
+                    rng_mix,
+                    images,
+                    gt,
+                    flip=mixup_flip,
+                    scale_jitter=mixup_jitter,
+                    sizes=sizes,
                 )
             if aug in ("wq", "mosaic_wq"):
                 rngs = jax.random.split(rng_strong, images.shape[0])

@@ -24,7 +24,23 @@ def build_evaluators(cfg, dataset_name: str, thing_classes):
     f1_mode = getattr(cfg.TEST, "F1_MODE", "reference")
     evaluators = []
     if any(dataset_name.startswith(p) for p in VOC_DATASET_PREFIXES):
-        evaluators.append(PascalVOCEvaluator(thing_classes))
+        # d2's voc_eval needs the difficult flags, which the fixed-capacity
+        # eval batches do not carry — hand the evaluator a per-image map
+        # from the registry records (same order as the batched GT rows).
+        # Best-effort: a registered-but-absent dataset (evaluator built
+        # standalone) just gets no difficult handling.
+        try:
+            from ..data.datasets import get_dataset
+
+            difficult_map = {
+                r["image_id"]: r.get("difficult", ())
+                for r in get_dataset(dataset_name)["records"]
+            }
+        except Exception:
+            difficult_map = None
+        evaluators.append(
+            PascalVOCEvaluator(thing_classes, difficult_map=difficult_map)
+        )
         evaluators.append(F1Evaluator(mode=f1_mode))
         return evaluators
     car_only = len(thing_classes) == 1 and ("sim10k" in dataset_name or "kitti" in dataset_name or list(thing_classes) == ["car"])

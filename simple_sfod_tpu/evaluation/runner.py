@@ -59,6 +59,7 @@ def run_metrics(
     iou: float = 0.5,
     voc_method: str = "all_point",
     want_curves: bool = False,
+    f1_mode: str = "reference",
 ) -> Tuple[Dict[str, dict], Optional[Dict]]:
     """Evaluate the requested metric families; returns (results, voc curves)."""
     wanted = set(metrics)
@@ -78,7 +79,11 @@ def run_metrics(
     if "voc" in wanted:
         from .voc import PascalVOCEvaluator
 
-        ev = PascalVOCEvaluator(class_names, iou_thresh=iou, method=voc_method)
+        # the toolkit's reference counterpart is the vendored padilla
+        # evaluator (>= threshold, no difficult handling), not d2's voc_eval
+        ev = PascalVOCEvaluator(
+            class_names, iou_thresh=iou, method=voc_method, protocol="toolkit"
+        )
         for img_id, gt in gts.items():
             db, ds, dc = record_arrays(dets.get(img_id, {}), True)
             gb, gc = record_arrays(gt, False)
@@ -88,7 +93,10 @@ def run_metrics(
     if "f1" in wanted:
         from .f1 import F1Evaluator
 
-        ev = F1Evaluator(iou_thresh=iou)
+        # default 'reference' = the daod evaluator's semantics (score>=0.5,
+        # top-5/image); pass f1_mode='greedy' for the cap-free variant the
+        # toolkit reported before round 4 — the output's F1_mode labels which
+        ev = F1Evaluator(iou_thresh=iou, mode=f1_mode)
         for img_id, gt in gts.items():
             db, ds, dc = record_arrays(dets.get(img_id, {}), True)
             gb, gc = record_arrays(gt, False)

@@ -84,6 +84,52 @@ class TestMosaicMixup:
             assert bx[:, 0].min() >= 0 and bx[:, 2].max() <= w
             assert bx[:, 1].min() >= 0 and bx[:, 3].max() <= h
 
+    def test_mixup_content_aware_reduces_to_plain_at_full_fill(self):
+        """sizes == canvas must reproduce the sizes=None blend exactly."""
+        rs = np.random.RandomState(3)
+        images = jnp.asarray(rs.uniform(0, 255, (4, 16, 32, 3)), jnp.float32)
+        gt = _batched_instances(
+            np.tile(np.asarray([[[2, 2, 10, 10]]], np.float32), (4, 1, 1)),
+            np.zeros((4, 1), np.int32),
+        )
+        key = jax.random.key(7)
+        out_a, m_a = mixup_batch(key, images, gt, flip=True)
+        sizes = jnp.broadcast_to(jnp.asarray([16, 32], jnp.int32), (4, 2))
+        out_b, m_b = mixup_batch(key, images, gt, flip=True, sizes=sizes)
+        np.testing.assert_allclose(np.asarray(out_a), np.asarray(out_b))
+        np.testing.assert_allclose(np.asarray(m_a.boxes), np.asarray(m_b.boxes))
+        np.testing.assert_array_equal(np.asarray(m_a.valid), np.asarray(m_b.valid))
+
+    def test_mixup_content_aware_gray_frame_and_clipping(self):
+        """At fill < 1: companion padding blends as 114 gray, the blend
+        covers only the origin frame (outside stays zero padding), and
+        companion GT never lands outside the frame."""
+        h, w, ch, cw = 16, 32, 8, 16
+        images = np.zeros((4, h, w, 3), np.float32)
+        images[:, :ch, :cw] = 50.0  # origin content; companion content = 50 too
+        gt = _batched_instances(
+            np.tile(np.asarray([[[2, 2, 12, 6]]], np.float32), (4, 1, 1)),
+            np.zeros((4, 1), np.int32),
+        )
+        sizes = jnp.broadcast_to(jnp.asarray([ch, cw], jnp.int32), (4, 2))
+        for s in range(4):
+            out, merged = mixup_batch(
+                jax.random.key(s), jnp.asarray(images), gt, flip=True, sizes=sizes
+            )
+            out = np.asarray(out)
+            # inside the frame: (50+50)/2=50 (content) or (50+114)/2=82 (gray)
+            frame = out[:, :ch, :cw]
+            vals = set(np.unique(frame).tolist())
+            assert vals <= {50.0, 82.0}, vals
+            # outside the frame: origin zero padding untouched
+            assert (out[:, ch:] == 0).all() and (out[:, :, cw:] == 0).all()
+            # companion GT (rows N:) clipped into the frame
+            ob = np.asarray(merged.boxes)[:, 1:]
+            ov = np.asarray(merged.valid)[:, 1:]
+            if ov.any():
+                kept = ob[ov]
+                assert kept[:, 2].max() <= cw and kept[:, 3].max() <= ch
+
     def test_mixup_blend(self):
         images = jnp.stack([jnp.zeros((8, 8, 3)), jnp.full((8, 8, 3), 100.0)])
         gt = _batched_instances(

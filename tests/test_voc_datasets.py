@@ -89,15 +89,18 @@ class TestVOCReader:
         data = load_voc_instances(base, "train", VOC6_CLASS_NAMES)
         assert data["thing_classes"] == VOC6_CLASS_NAMES
         recs = {r["voc_id"]: r for r in data["records"]}
-        # c2 has only an out-of-subset object -> filtered empty
-        assert set(recs) == {"c0", "c1", "c3"}
+        # c2 has only an out-of-subset object -> empty but KEPT (d2 filters
+        # empties in the TRAIN loader, never at load; ref build.py:118)
+        assert set(recs) == {"c0", "c1", "c2", "c3"}
+        assert recs["c2"]["boxes"] == []
         r0 = recs["c0"]
         # unknown class skipped; xmin/ymin shift by -1 (d2 semantics)
         assert r0["classes"] == [VOC6_CLASS_NAMES.index("bicycle")]
         assert r0["boxes"] == [[9.0, 9.0, 40.0, 40.0]]
         assert r0["height"] == 64 and r0["width"] == 96
-        # difficult objects are KEPT (d2 keeps them, pascal_voc.py)
+        # difficult objects are KEPT with their flag (d2's voc_eval needs it)
         assert len(recs["c1"]["classes"]) == 2
+        assert 1 in recs["c1"]["difficult"]
         # dense integer image ids for the eval loop
         assert all(isinstance(r["image_id"], int) for r in data["records"])
 
@@ -106,7 +109,7 @@ class TestVOCReader:
         make_voc_tree(str(tmp), "comic", {"train": COMIC_TRAIN})
         ds = D.get_dataset("comic_train")
         assert ds["thing_classes"] == VOC6_CLASS_NAMES
-        assert len(ds["records"]) == 3
+        assert len(ds["records"]) == 4  # empty c2 kept; train loader filters
         # lazy pattern branch: clipart gets the 20 VOC classes
         D.DATASET_REGISTRY.clear()
         D._register_by_pattern("clipart_traintest", root="/R")

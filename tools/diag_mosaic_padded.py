@@ -61,6 +61,12 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=250)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument(
+        "--content-aware",
+        action="store_true",
+        help="train the shipped content-aware composite instead of the "
+        "legacy content-blind one this tool exists to diagnose",
+    )
     args = ap.parse_args()
 
     import jax
@@ -78,14 +84,26 @@ def main():
     q._register("mq_train", train_recs)
 
     cfg = q._mosaic_cfg((q.H, q.W), "mq_train", args.seed)
-    tr = build_trainer(cfg, synthetic=True)
-    loader = iter(tr.build_train_loader())
-    losses = []
-    for s in range(args.steps):
-        m = tr.run_step(dict(next(loader)))
-        losses.append(float(np.asarray(m["total_loss"])))
-        if (s + 1) % 50 == 0:
-            print(f"# step {s+1} loss {np.mean(losses[-20:]):.3f}", flush=True)
+    # the documented AP50~0 anomaly is the LEGACY content-blind composite;
+    # since round 4 the trainer defaults to content-aware, so reproducing it
+    # requires dropping the sizes arg (step_fn binds mosaic_batch at trace
+    # time, so the patch must span the training loop)
+    import simple_sfod_tpu.engine.trainers.wq as wq_mod
+
+    orig_mb = wq_mod.mosaic_batch
+    if not args.content_aware:
+        wq_mod.mosaic_batch = lambda rng, im, g, sizes=None: orig_mb(rng, im, g)
+    try:
+        tr = build_trainer(cfg, synthetic=True)
+        loader = iter(tr.build_train_loader())
+        losses = []
+        for s in range(args.steps):
+            m = tr.run_step(dict(next(loader)))
+            losses.append(float(np.asarray(m["total_loss"])))
+            if (s + 1) % 50 == 0:
+                print(f"# step {s+1} loss {np.mean(losses[-20:]):.3f}", flush=True)
+    finally:
+        wq_mod.mosaic_batch = orig_mb
 
     variables = {"params": tr.state.params, "batch_stats": tr.state.batch_stats}
     infer = jax.jit(tr.detector.infer)

@@ -32,6 +32,13 @@ def main():
     ap.add_argument("--metrics", default="coco,voc,f1", help="comma list: coco,voc,f1")
     ap.add_argument("--iou", type=float, default=0.5, help="IoU for VOC/F1")
     ap.add_argument("--voc-method", default="all_point", choices=["all_point", "11_point"])
+    ap.add_argument(
+        "--f1-mode",
+        default="reference",
+        choices=["reference", "greedy"],
+        help="reference = daod F1 semantics (score>=0.5, top-5/image); "
+        "greedy = the cap-free score-ordered variant",
+    )
     ap.add_argument("--names", default=None, help="optional class-names file, one per line")
     ap.add_argument("--img-dir", default=None, help="images dir (yolo relative coords)")
     ap.add_argument(
@@ -65,6 +72,7 @@ def main():
         iou=args.iou,
         voc_method=args.voc_method,
         want_curves=bool(args.html),
+        f1_mode=args.f1_mode,
     )
 
     for key, res in results.items():
