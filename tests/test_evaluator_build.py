@@ -126,6 +126,120 @@ class TestVOC:
         # TP then FP; recall 1/2; all-point AP = 0.5
         assert abs(res["VOC_AP50"] - 50.0) < 1e-6
 
+    def test_fuzz_vs_voc_eval_transcription(self):
+        """Differential vs a direct numpy transcription of detectron2's
+        voc_eval (pascal_voc_evaluation.py — py-faster-rcnn lineage): global
+        score order, argmax over all gt, strict >, difficult excluded from
+        npos / matches ignored, +1 inclusive-pixel arithmetic in VOC coords
+        (which the evaluator's continuous IoU in d2 coords equals exactly:
+        the -1/+1 shifts cancel). 20 random datasets, per-class AP equality."""
+
+        def voc_eval_ap(dets, gts, cls, ovthresh=0.5):
+            # dets: {img: (boxes_d2, scores, classes)}; gts: {img: (boxes_d2,
+            # classes, difficult)}. VOC coords: mins +1 (d2 writes xmin+1 /
+            # ymin+1; GT raw XML = stored mins +1).
+            recs = {}
+            npos = 0
+            for img, (gb, gc, gd) in gts.items():
+                sel = gc == cls
+                bbgt = gb[sel] + np.asarray([1.0, 1.0, 0.0, 0.0])
+                diff = gd[sel].astype(bool)
+                npos += int((~diff).sum())
+                recs[img] = {"bbox": bbgt, "difficult": diff, "det": np.zeros(len(bbgt), bool)}
+            image_ids, confidence, BB = [], [], []
+            for img, (db, ds, dc) in dets.items():
+                sel = dc == cls
+                for b, s in zip(db[sel], ds[sel]):
+                    image_ids.append(img)
+                    confidence.append(s)
+                    BB.append(b + np.asarray([1.0, 1.0, 0.0, 0.0]))
+            if not image_ids:
+                return 0.0 if npos else None
+            sorted_ind = np.argsort(-np.asarray(confidence))
+            BB = np.asarray(BB)[sorted_ind]
+            image_ids = [image_ids[i] for i in sorted_ind]
+            nd = len(image_ids)
+            tp, fp = np.zeros(nd), np.zeros(nd)
+            for d in range(nd):
+                R = recs[image_ids[d]]
+                bb = BB[d]
+                ovmax, jmax = -np.inf, -1
+                BBGT = R["bbox"]
+                if BBGT.size > 0:
+                    ixmin = np.maximum(BBGT[:, 0], bb[0])
+                    iymin = np.maximum(BBGT[:, 1], bb[1])
+                    ixmax = np.minimum(BBGT[:, 2], bb[2])
+                    iymax = np.minimum(BBGT[:, 3], bb[3])
+                    iw = np.maximum(ixmax - ixmin + 1.0, 0.0)
+                    ih = np.maximum(iymax - iymin + 1.0, 0.0)
+                    inters = iw * ih
+                    uni = (
+                        (bb[2] - bb[0] + 1.0) * (bb[3] - bb[1] + 1.0)
+                        + (BBGT[:, 2] - BBGT[:, 0] + 1.0) * (BBGT[:, 3] - BBGT[:, 1] + 1.0)
+                        - inters
+                    )
+                    overlaps = inters / uni
+                    ovmax = np.max(overlaps)
+                    jmax = int(np.argmax(overlaps))
+                if ovmax > ovthresh:
+                    if not R["difficult"][jmax]:
+                        if not R["det"][jmax]:
+                            tp[d] = 1.0
+                            R["det"][jmax] = True
+                        else:
+                            fp[d] = 1.0
+                else:
+                    fp[d] = 1.0
+            if npos == 0:
+                return None
+            rec = np.cumsum(tp) / float(npos)
+            prec = np.cumsum(tp) / np.maximum(np.cumsum(tp) + np.cumsum(fp), np.finfo(np.float64).eps)
+            mrec = np.concatenate(([0.0], rec, [1.0]))
+            mpre = np.concatenate(([0.0], prec, [0.0]))
+            for i in range(mpre.size - 1, 0, -1):
+                mpre[i - 1] = np.maximum(mpre[i - 1], mpre[i])
+            i = np.where(mrec[1:] != mrec[:-1])[0]
+            return float(np.sum((mrec[i + 1] - mrec[i]) * mpre[i + 1]))
+
+        rs = np.random.RandomState(11)
+        C = 3
+        for trial in range(20):
+            n_img = rs.randint(2, 6)
+            dets, gts = {}, {}
+            ev = PascalVOCEvaluator([f"c{i}" for i in range(C)])
+            for img in range(n_img):
+                ng, nd = rs.randint(1, 6), rs.randint(0, 8)
+                gx = rs.randint(0, 200, (ng, 2)).astype(np.float64)
+                gwh = rs.randint(5, 80, (ng, 2)).astype(np.float64)
+                gb = np.concatenate([gx, gx + gwh], axis=1)
+                gc = rs.randint(0, C, ng)
+                gd = (rs.uniform(size=ng) < 0.25).astype(int)
+                dx = rs.randint(0, 200, (nd, 2)).astype(np.float64)
+                dwh = rs.randint(5, 80, (nd, 2)).astype(np.float64)
+                # half the detections jitter off real GT for plausible IoUs
+                for k in range(0, nd, 2):
+                    gi = rs.randint(ng)
+                    dx[k] = gx[gi] + rs.randint(-8, 9, 2)
+                    dwh[k] = gwh[gi] + rs.randint(-8, 9, 2).clip(-gwh[gi].min() + 3, None)
+                db = np.concatenate([dx, dx + np.maximum(dwh, 1)], axis=1)
+                ds = rs.uniform(0.05, 1.0, nd)
+                dc = rs.randint(0, C, nd)
+                dets[img] = (db, ds, dc)
+                gts[img] = (gb, gc, gd)
+                ev.process_image(img, db, ds, dc, gb, gc, gt_difficult=gd)
+            res = ev.evaluate()
+            for c in range(C):
+                ref_ap = voc_eval_ap(dets, gts, c)
+                ours = res["voc_per_class"].get(f"c{c}")
+                if ref_ap is None:
+                    assert ours is None, (trial, c)
+                elif ours is None:
+                    # evaluator skips zero-GT classes; transcription returns
+                    # 0.0 there only when npos>0, so this cannot happen
+                    raise AssertionError((trial, c))
+                else:
+                    np.testing.assert_allclose(ours, 100 * ref_ap, atol=1e-9, err_msg=f"trial {trial} class {c}")
+
     def test_difficult_map_constructor_path(self):
         """build.py hands flags via difficult_map when process_image GT
         carries none (the fixed-capacity eval batches)."""
