@@ -141,11 +141,11 @@ BATCH = 4
 STEP_CLASSES = 4
 
 
-def _mosaic_cfg(canvas, name: str, seed: int):
+def _mosaic_cfg(canvas, name: str, seed: int, trainer: str = "base_mosaic"):
     import __graft_entry__ as g
 
     cfg = g._tiny_cfg(1, canvas=canvas, backbone="tiny")
-    cfg.TRAINER = "base_mosaic"
+    cfg.TRAINER = trainer
     cfg.MODEL.ROI_HEADS.NUM_CLASSES = STEP_CLASSES
     cfg.SOLVER.IMS_PER_BATCH = BATCH
     cfg.SOLVER.IMS_PER_BATCH_TARGET = BATCH
@@ -207,23 +207,32 @@ def _register(name, recs):
     }
 
 
-def _train_and_eval(canvas, name, seed, steps, train_recs, eval_recs, content_blind=False):
+def _train_and_eval(
+    canvas, name, seed, steps, train_recs, eval_recs, content_blind=False,
+    trainer="base_mosaic",
+):
     import jax
     import jax.numpy as jnp
 
     from simple_sfod_tpu.engine.trainers import build_trainer
     from simple_sfod_tpu.evaluation.coco_eval import COCOEvaluator
 
-    cfg = _mosaic_cfg(canvas, name, seed)
-    # step_fn resolves mosaic_batch at TRACE time (first run_step), so the
-    # legacy patch must stay active through the whole training loop
+    cfg = _mosaic_cfg(canvas, name, seed, trainer=trainer)
+    # step_fn resolves mosaic_batch/mixup_batch at TRACE time (first
+    # run_step), so the legacy patch must stay active through the whole
+    # training loop
     import simple_sfod_tpu.engine.trainers.wq as wq_mod
 
     orig_mb = wq_mod.mosaic_batch
+    orig_mx = wq_mod.mixup_batch
     if content_blind:
-        # legacy round-3 composite: drop the sizes arg so tiles crop from the
-        # padded canvases (the deviation this tool quantifies)
+        # legacy round-3 composites: drop the sizes arg so mosaic tiles crop
+        # from the padded canvases / mixup blends the companion's zero
+        # padding full-canvas (the deviations this tool quantifies)
         wq_mod.mosaic_batch = lambda rng, im, g, sizes=None: orig_mb(rng, im, g)
+        wq_mod.mixup_batch = (
+            lambda rng, im, g, sizes=None, **kw: orig_mx(rng, im, g, **kw)
+        )
     try:
         tr = build_trainer(cfg, synthetic=True)
         loader = iter(tr.build_train_loader())
@@ -233,6 +242,7 @@ def _train_and_eval(canvas, name, seed, steps, train_recs, eval_recs, content_bl
             losses.append(float(np.asarray(m["total_loss"])))
     finally:
         wq_mod.mosaic_batch = orig_mb
+        wq_mod.mixup_batch = orig_mx
 
     variables = {"params": tr.state.params, "batch_stats": tr.state.batch_stats}
     infer = jax.jit(tr.detector.infer)
@@ -259,19 +269,24 @@ def _train_and_eval(canvas, name, seed, steps, train_recs, eval_recs, content_bl
     }
 
 
-def learning(steps, seeds):
+def learning(steps, seeds, trainer="base_mosaic"):
     train_recs = _learnable_records(TRAIN_N, seed=100)
     eval_recs = _learnable_records(EVAL_N, seed=200)
     _register("mq_train", train_recs)
-    out = {"fit": [], "content_aware": [], "content_blind": []}
+    out = {"trainer": trainer, "fit": [], "content_aware": [], "content_blind": []}
     for seed in range(seeds):
-        fit = _train_and_eval(CONTENT_HW, "mq_train", seed, steps, train_recs, eval_recs)
-        aware = _train_and_eval((H, W), "mq_train", seed, steps, train_recs, eval_recs)
+        fit = _train_and_eval(
+            CONTENT_HW, "mq_train", seed, steps, train_recs, eval_recs, trainer=trainer
+        )
+        aware = _train_and_eval(
+            (H, W), "mq_train", seed, steps, train_recs, eval_recs, trainer=trainer
+        )
         blind = _train_and_eval(
-            (H, W), "mq_train", seed, steps, train_recs, eval_recs, content_blind=True
+            (H, W), "mq_train", seed, steps, train_recs, eval_recs,
+            content_blind=True, trainer=trainer,
         )
         print(
-            f"[seed {seed}] canvas-fit AP50={fit['ap50']:.2f} loss={fit['final_loss']:.3f} | "
+            f"[{trainer} seed {seed}] canvas-fit AP50={fit['ap50']:.2f} loss={fit['final_loss']:.3f} | "
             f"content-aware(fill=0.75) AP50={aware['ap50']:.2f} loss={aware['final_loss']:.3f} | "
             f"content-blind(fill=0.75) AP50={blind['ap50']:.2f} loss={blind['final_loss']:.3f}",
             flush=True,
@@ -298,18 +313,21 @@ def main():
     ap.add_argument("--steps", type=int, default=250)
     ap.add_argument("--seeds", type=int, default=2)
     ap.add_argument("--skip-learning", action="store_true")
+    ap.add_argument("--skip-geometry", action="store_true")
+    ap.add_argument(
+        "--trainer", default="base_mosaic", choices=["base_mosaic", "base_mixup"]
+    )
     ap.add_argument("--json", default=None)
     args = ap.parse_args()
 
-    fills = [1.0, 0.95, 0.85, 0.75, 0.5]
-    out = {
-        "geometry": geometry(fills)
-        + geometry(fills, content_aware=True)
-    }
-    for r in out["geometry"]:
-        print(json.dumps(r), flush=True)
+    out = {}
+    if not args.skip_geometry:
+        fills = [1.0, 0.95, 0.85, 0.75, 0.5]
+        out["geometry"] = geometry(fills) + geometry(fills, content_aware=True)
+        for r in out["geometry"]:
+            print(json.dumps(r), flush=True)
     if not args.skip_learning:
-        out["learning"] = learning(args.steps, args.seeds)
+        out["learning"] = learning(args.steps, args.seeds, trainer=args.trainer)
         print(
             json.dumps(
                 {k: v for k, v in out["learning"].items() if not isinstance(v, list)}
