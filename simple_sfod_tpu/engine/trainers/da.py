@@ -31,6 +31,116 @@ from . import register_trainer
 from .base import BaseTrainer, _flip_enabled, apply_weak_aug
 
 
+def dc_losses(
+    det,
+    params,
+    variables,
+    feature,
+    canvas_hw,
+    sizes,
+    domain_label,
+    rng,
+    *,
+    w_img: float,
+    w_ins: float,
+    w_cst: float,
+    conditional: bool,
+    entropy_conditioning: bool,
+    da_img_head,
+    da_ins_head,
+    num_ins: int = 64,
+    deterministic: bool = False,
+):
+    """One domain's discriminator losses on a PRECOMPUTED train-mode
+    backbone feature — the reference computes each domain's features
+    ONCE and feeds supervised + DC branches (da_faster_rcnn.py
+    :135-220); re-forwarding here was both a second full backbone
+    pass per domain and eval-mode BN the reference never uses.
+
+    Reference semantics (da_faster_rcnn.py:228-273,
+    cda_faster_rcnn.py:248-300): image BCE behind GRL(-w_img);
+    instance BCE on pooled box-head features behind GRL(-w_ins)
+    (CDA: feature (x) softmax multilinear map, optional CDAN entropy
+    conditioning); consistency = L1 between the ROI-POOLED
+    image-probability MAP (aligned over each proposal and averaged —
+    not the image mean) and the instance probabilities, each feature
+    path entering through a POSITIVE gradient scalar w_cst*w_{img,ins}
+    — DC_CONSISTENCY_WEIGHT scales gradients, not the loss value.
+    Static-shape note: the reference pools every post-NMS proposal;
+    the top num_ins by score bound the DC/consistency batch.
+
+    `deterministic=True` disables the instance head's dropout — used only
+    by the torch differential (tests/test_da_lockstep.py), which compares
+    values and GRL gradient paths against a direct torch transcription;
+    production calls keep dropout live like the reference's DAInsHead.
+    Returns (loss_img, loss_ins, loss_cst)."""
+    det_cfg = det.cfg
+    b = feature.shape[0]
+    train_ins = not deterministic
+    df = dc_image_feature(det_cfg, feature)
+    img_out = da_img_head.apply(
+        {"params": params["da_img"]}, gradient_scalar(df, -w_img)
+    )
+    img_tgt = jnp.full_like(img_out, domain_label)
+    loss_img = jnp.mean(sigmoid_ce(img_out, img_tgt))
+
+    # top-k proposals -> pooled box-head features
+    anchors = anchors_for(det_cfg, canvas_hw)
+    rpn_out = det._rpn(variables, feature)
+    proposals = propose(det_cfg, anchors, rpn_out, sizes, training=True)
+    boxes = jax.lax.stop_gradient(proposals.boxes[:, :num_ins])
+    pooled = pool_rois(det_cfg, feature, boxes)
+    feats = det.module.apply(
+        variables,
+        pooled,
+        False,  # box head has no BN; dropout is the MCD extra (0.0)
+        method=lambda m, p, t: m.box_head(p, train=t),
+    )
+    probs = None
+    if conditional:
+        scores, _ = det.module.apply(
+            variables, pooled, False, method=type(det.module).box
+        )
+        probs = jax.nn.softmax(jax.lax.stop_gradient(scores), axis=-1)
+        feats = (feats[:, :, None] * probs[:, None, :]).reshape(feats.shape[0], -1)
+    ins_out = da_ins_head.apply(
+        {"params": params["da_ins"]},
+        gradient_scalar(feats, -w_ins),
+        train=train_ins,
+        rngs={"dropout": rng},
+    )
+    ins_tgt = jnp.full_like(ins_out, domain_label)
+    ins_bce = sigmoid_ce(ins_out, ins_tgt)
+    if entropy_conditioning:
+        # CDAN entropy conditioning (cda_faster_rcnn.py:276-283):
+        # per-instance weight 1 + e^{-H(softmax)}, mean-normalised
+        ent = -jnp.sum(probs * jnp.log(probs + 1e-5), axis=-1)
+        w = 1.0 + jnp.exp(-ent)
+        w = w / jnp.mean(w)
+        ins_bce = ins_bce * w.reshape(ins_out.shape)
+    loss_ins = jnp.mean(ins_bce)
+
+    # consistency (reference :253-273): the image head re-runs on the
+    # +w_cst*w_img-scaled path, its sigmoid PROBABILITY MAP is
+    # ROI-aligned over the same boxes and averaged (avg_pool PxP),
+    # and pulled toward the instance probabilities by L1
+    img_out_c = da_img_head.apply(
+        {"params": params["da_img"]}, gradient_scalar(df, w_cst * w_img)
+    )
+    prob_map = jax.nn.sigmoid(img_out_c)  # [B, h, w, 1], feature stride
+    roi_img_prob = pool_rois(det_cfg, prob_map, boxes)
+    roi_img_prob = roi_img_prob.mean(axis=(1, 2, 3)).reshape(b, num_ins)
+    ins_out_c = da_ins_head.apply(
+        {"params": params["da_ins"]},
+        gradient_scalar(feats, w_cst * w_ins),
+        train=train_ins,
+        rngs={"dropout": jax.random.fold_in(rng, 1)},
+    )
+    ins_prob = jax.nn.sigmoid(ins_out_c).reshape(b, num_ins)
+    loss_cst = jnp.mean(jnp.abs(roi_img_prob - ins_prob))
+    return loss_img, loss_ins, loss_cst
+
+
 class _DATrainerBase(BaseTrainer):
     conditional = False  # CDA: multiply instance features by class probs
     # paired loaders: both the source and target batches are sharded
@@ -111,87 +221,27 @@ class _DATrainerBase(BaseTrainer):
         da_ins_head = self.da_ins_head
         num_ins = 64
 
-        def dc_losses(params, variables, feature, canvas_hw, sizes, domain_label, rng):
-            """One domain's discriminator losses on a PRECOMPUTED train-mode
-            backbone feature — the reference computes each domain's features
-            ONCE and feeds supervised + DC branches (da_faster_rcnn.py
-            :135-220); re-forwarding here was both a second full backbone
-            pass per domain and eval-mode BN the reference never uses.
-
-            Reference semantics (da_faster_rcnn.py:228-273,
-            cda_faster_rcnn.py:248-300): image BCE behind GRL(-w_img);
-            instance BCE on pooled box-head features behind GRL(-w_ins)
-            (CDA: feature (x) softmax multilinear map, optional CDAN entropy
-            conditioning); consistency = L1 between the ROI-POOLED
-            image-probability MAP (aligned over each proposal and averaged —
-            not the image mean) and the instance probabilities, each feature
-            path entering through a POSITIVE gradient scalar w_cst*w_{img,ins}
-            — DC_CONSISTENCY_WEIGHT scales gradients, not the loss value.
-            Static-shape note: the reference pools every post-NMS proposal;
-            the top num_ins=64 by score bound the DC/consistency batch."""
-            b = feature.shape[0]
-            df = dc_image_feature(det_cfg, feature)
-            img_out = da_img_head.apply(
-                {"params": params["da_img"]}, gradient_scalar(df, -w_img)
-            )
-            img_tgt = jnp.full_like(img_out, domain_label)
-            loss_img = jnp.mean(sigmoid_ce(img_out, img_tgt))
-
-            # top-k proposals -> pooled box-head features
-            anchors = anchors_for(det_cfg, canvas_hw)
-            rpn_out = det._rpn(variables, feature)
-            proposals = propose(det_cfg, anchors, rpn_out, sizes, training=True)
-            boxes = jax.lax.stop_gradient(proposals.boxes[:, :num_ins])
-            pooled = pool_rois(det_cfg, feature, boxes)
-            feats = det.module.apply(
+        def dc_losses_fn(params, variables, feature, canvas_hw, sizes, domain_label, rng):
+            # module-level dc_losses (torch-differential-tested in
+            # tests/test_da_lockstep.py) bound to this trainer's config
+            return dc_losses(
+                det,
+                params,
                 variables,
-                pooled,
-                False,  # box head has no BN; dropout is the MCD extra (0.0)
-                method=lambda m, p, t: m.box_head(p, train=t),
+                feature,
+                canvas_hw,
+                sizes,
+                domain_label,
+                rng,
+                w_img=w_img,
+                w_ins=w_ins,
+                w_cst=w_cst,
+                conditional=conditional,
+                entropy_conditioning=entropy_conditioning,
+                da_img_head=da_img_head,
+                da_ins_head=da_ins_head,
+                num_ins=num_ins,
             )
-            probs = None
-            if conditional:
-                scores, _ = det.module.apply(
-                    variables, pooled, False, method=type(det.module).box
-                )
-                probs = jax.nn.softmax(jax.lax.stop_gradient(scores), axis=-1)
-                feats = (feats[:, :, None] * probs[:, None, :]).reshape(feats.shape[0], -1)
-            ins_out = da_ins_head.apply(
-                {"params": params["da_ins"]},
-                gradient_scalar(feats, -w_ins),
-                train=True,
-                rngs={"dropout": rng},
-            )
-            ins_tgt = jnp.full_like(ins_out, domain_label)
-            ins_bce = sigmoid_ce(ins_out, ins_tgt)
-            if entropy_conditioning:
-                # CDAN entropy conditioning (cda_faster_rcnn.py:276-283):
-                # per-instance weight 1 + e^{-H(softmax)}, mean-normalised
-                ent = -jnp.sum(probs * jnp.log(probs + 1e-5), axis=-1)
-                w = 1.0 + jnp.exp(-ent)
-                w = w / jnp.mean(w)
-                ins_bce = ins_bce * w.reshape(ins_out.shape)
-            loss_ins = jnp.mean(ins_bce)
-
-            # consistency (reference :253-273): the image head re-runs on the
-            # +w_cst*w_img-scaled path, its sigmoid PROBABILITY MAP is
-            # ROI-aligned over the same boxes and averaged (avg_pool PxP),
-            # and pulled toward the instance probabilities by L1
-            img_out_c = da_img_head.apply(
-                {"params": params["da_img"]}, gradient_scalar(df, w_cst * w_img)
-            )
-            prob_map = jax.nn.sigmoid(img_out_c)  # [B, h, w, 1], feature stride
-            roi_img_prob = pool_rois(det_cfg, prob_map, boxes)
-            roi_img_prob = roi_img_prob.mean(axis=(1, 2, 3)).reshape(b, num_ins)
-            ins_out_c = da_ins_head.apply(
-                {"params": params["da_ins"]},
-                gradient_scalar(feats, w_cst * w_ins),
-                train=True,
-                rngs={"dropout": jax.random.fold_in(rng, 1)},
-            )
-            ins_prob = jax.nn.sigmoid(ins_out_c).reshape(b, num_ins)
-            loss_cst = jnp.mean(jnp.abs(roi_img_prob - ins_prob))
-            return loss_img, loss_ins, loss_cst
 
         def step_fn(state, src_images, src_sizes, src_gt: Instances, tgt_images, tgt_sizes, rng):
             src_images = src_images.astype(jnp.float32)
@@ -214,10 +264,10 @@ class _DATrainerBase(BaseTrainer):
                 variables_t = {"params": params["det"], "batch_stats": stats1}
                 feat_tgt, mutated_t = det._features(variables_t, tgt_images, True, mutable=True)
                 new_stats = mutated_t.get("batch_stats", {})
-                li_s, ln_s, lc_s = dc_losses(
+                li_s, ln_s, lc_s = dc_losses_fn(
                     params, variables, feat_src, tuple(src_images.shape[1:3]), src_sizes, 0.0, k_dc_s
                 )
-                li_t, ln_t, lc_t = dc_losses(
+                li_t, ln_t, lc_t = dc_losses_fn(
                     params, variables, feat_tgt, tuple(tgt_images.shape[1:3]), tgt_sizes, 1.0, k_dc_t
                 )
                 # reference loss_dict entries ARE the 0.5-halved sums, each

@@ -657,3 +657,141 @@ class TorchRealSamplingMirror(TorchSFATSingleMirror):
             labels, self.cfg.roi_batch_size_per_image, self.roi_pos_frac
         )
         return torch.cat([pos, neg])
+
+
+# ---------------------------------------------------------------------------
+# DA-Faster domain-adversarial loss core (reference
+# daod/modeling/meta_arch/da_faster_rcnn.py:228-273 + dann.py:33-155 +
+# cda_faster_rcnn.py:248-300), torch edition — consumed by
+# tests/test_da_lockstep.py to differential the repo's
+# engine/trainers/da.dc_losses value AND gradient paths (the GRL scalings).
+# ---------------------------------------------------------------------------
+
+
+class TorchGRL(torch.autograd.Function):
+    """GradientScalarLayer (reference dann.py:33-50): identity forward,
+    gradient scaled by alpha backward."""
+
+    @staticmethod
+    def forward(ctx, x, alpha):
+        ctx.alpha = alpha
+        return x.view_as(x)
+
+    @staticmethod
+    def backward(ctx, g):
+        return g * ctx.alpha, None
+
+
+def grl(x: torch.Tensor, alpha: float) -> torch.Tensor:
+    return TorchGRL.apply(x, alpha)
+
+
+class TorchDAImgHead(torch.nn.Module):
+    """DAImgHead (reference dann.py:54-94): 1x1 conv C->512, relu, 1x1 -> 1."""
+
+    def __init__(self, in_ch: int):
+        super().__init__()
+        self.conv1 = torch.nn.Conv2d(in_ch, 512, 1)
+        self.conv2 = torch.nn.Conv2d(512, 1, 1)
+
+    def forward(self, x: torch.Tensor) -> torch.Tensor:
+        return self.conv2(F.relu(self.conv1(x)))
+
+    def load_flax(self, p: Dict) -> None:
+        with torch.no_grad():
+            for name, m in (("conv1", self.conv1), ("conv2", self.conv2)):
+                k = np.asarray(p[name]["kernel"])  # HWIO
+                m.weight.copy_(torch.from_numpy(k).permute(3, 2, 0, 1))
+                m.bias.copy_(torch.from_numpy(np.asarray(p[name]["bias"])))
+
+
+class TorchDAInsHead(torch.nn.Module):
+    """DAInsHead (reference dann.py:97-155): fc 1024 -> dropout -> fc 1024 ->
+    dropout -> fc 1. Used in eval mode by the differential (dropout off on
+    both sides — dc_losses(deterministic=True))."""
+
+    def __init__(self, in_dim: int):
+        super().__init__()
+        self.fc1 = torch.nn.Linear(in_dim, 1024)
+        self.fc2 = torch.nn.Linear(1024, 1024)
+        self.fc3 = torch.nn.Linear(1024, 1)
+
+    def forward(self, x: torch.Tensor) -> torch.Tensor:
+        x = F.relu(self.fc1(x))
+        x = F.relu(self.fc2(x))
+        return self.fc3(x)
+
+    def load_flax(self, p: Dict) -> None:
+        with torch.no_grad():
+            for name, m in (("fc1", self.fc1), ("fc2", self.fc2), ("fc3", self.fc3)):
+                m.weight.copy_(torch.from_numpy(np.asarray(p[name]["kernel"]).T))
+                m.bias.copy_(torch.from_numpy(np.asarray(p[name]["bias"])))
+
+
+def torch_dc_losses(
+    model: "TorchTinyFasterRCNN",
+    img_head: TorchDAImgHead,
+    ins_head: TorchDAInsHead,
+    feat: torch.Tensor,  # [B, C, h, w], requires_grad for the differential
+    boxes: torch.Tensor,  # [B, R, 4] image-coordinate XYXY (stop-gradient)
+    domain_label: float,
+    *,
+    w_img: float,
+    w_ins: float,
+    w_cst: float,
+    conditional: bool,
+    entropy_conditioning: bool,
+    stride: int,
+    pooler: int,
+    sampling_ratio: int,
+):
+    """Direct transcription of the reference's image_dc_loss /
+    instance_dc_loss / consistency_loss for a single-level backbone
+    (da_faster_rcnn.py:228-273; CDA multilinear+entropy
+    cda_faster_rcnn.py:248-300). Proposal boxes are taken as inputs — the
+    reference detaches them too (RPN gradients reach the DC losses through
+    nothing), and the repo's propose() is lockstep-proven elsewhere."""
+    b, r = boxes.shape[0], boxes.shape[1]
+
+    # image-level BCE behind GRL(-w_img)
+    img_out = img_head(grl(feat, -w_img))
+    img_tgt = torch.full_like(img_out, domain_label)
+    loss_img = F.binary_cross_entropy_with_logits(img_out, img_tgt)
+
+    # pooled box-head features (b-major flatten, matching pool_rois)
+    rois = torch.cat(
+        [
+            torch.repeat_interleave(torch.arange(b, dtype=feat.dtype), r)[:, None],
+            boxes.reshape(-1, 4),
+        ],
+        dim=1,
+    )
+    pooled = tv_roi_align(feat, rois, (pooler, pooler), 1.0 / stride, sampling_ratio)
+    x = pooled.permute(0, 2, 3, 1).reshape(pooled.shape[0], -1)  # NHWC flatten
+    feats = F.relu(model.fc1(F.relu(model.fc0(x))))
+    probs = None
+    if conditional:
+        probs = F.softmax(model.cls_score(feats).detach(), dim=-1)
+        feats = (feats[:, :, None] * probs[:, None, :]).reshape(feats.shape[0], -1)
+
+    # instance-level BCE behind GRL(-w_ins) (+ CDAN entropy conditioning)
+    ins_out = ins_head(grl(feats, -w_ins))
+    ins_tgt = torch.full_like(ins_out, domain_label)
+    ins_bce = F.binary_cross_entropy_with_logits(ins_out, ins_tgt, reduction="none")
+    if entropy_conditioning:
+        ent = -(probs * torch.log(probs + 1e-5)).sum(-1)
+        w = 1.0 + torch.exp(-ent)
+        w = w / w.mean()
+        ins_bce = ins_bce * w.reshape(ins_out.shape)
+    loss_ins = ins_bce.mean()
+
+    # consistency: ROI-pooled image prob map vs instance probs, each path
+    # through POSITIVE GRL(w_cst * w) — weight scales gradients, not values
+    img_out_c = img_head(grl(feat, w_cst * w_img))
+    prob_map = torch.sigmoid(img_out_c)
+    roi_probs = tv_roi_align(
+        prob_map, rois, (pooler, pooler), 1.0 / stride, sampling_ratio
+    ).mean(dim=(1, 2, 3))
+    ins_out_c = ins_head(grl(feats, w_cst * w_ins))
+    loss_cst = F.l1_loss(roi_probs, torch.sigmoid(ins_out_c).reshape(-1))
+    return loss_img, loss_ins, loss_cst
