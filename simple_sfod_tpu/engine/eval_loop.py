@@ -4,6 +4,7 @@
 from __future__ import annotations
 
 import collections
+import pickle
 from typing import Dict, Optional
 
 import jax
@@ -12,6 +13,29 @@ import numpy as np
 
 from ..evaluation import COCOEvaluator, F1Evaluator
 from ..models.detector import Detector
+
+
+def _allgather_records(records: list) -> list:
+    """Exchange per-process record lists across a multi-process run: pickle
+    to bytes, allgather lengths, pad to the max, allgather the padded
+    buffers, unpickle every process's list (pid order). Every process ends
+    up with the SAME concatenated list — the reference gathers DDP eval
+    shards to rank 0 (d2 inference_on_dataset / all_gather); gathering to
+    ALL ranks costs the same collective and spares a broadcast."""
+    from jax.experimental import multihost_utils
+
+    blob = pickle.dumps(records, protocol=pickle.HIGHEST_PROTOCOL)
+    n = np.asarray([len(blob)], np.int64)
+    lens = np.asarray(multihost_utils.process_allgather(n)).reshape(-1)
+    buf = np.zeros(int(lens.max()), np.uint8)
+    buf[: len(blob)] = np.frombuffer(blob, np.uint8)
+    bufs = np.asarray(multihost_utils.process_allgather(buf))
+    if bufs.ndim == 1:  # single process: allgather returns the buffer itself
+        bufs = bufs[None]
+    out = []
+    for p in range(len(lens)):
+        out.extend(pickle.loads(bufs[p, : int(lens[p])].tobytes()))
+    return out
 
 
 def inference_on_dataset(
@@ -50,38 +74,41 @@ def inference_on_dataset(
     independent, so the sharded pass is numerically identical to the
     single-device pass; equivalence-tested in tests/test_eval_dp.py).
     Batches whose size is not a multiple of D are padded by repeating the
-    final record; the padded rows are never visited by process() (it
-    iterates only the batch's own image_ids — the image-id dedup handles
-    the LOADER's final-batch repeats, not the pad). With
-    `train_mode_bn=True` such padding joins the batch statistics, so keep
-    TEST.IMS_PER_BATCH a multiple of the mesh width for bit-exact AdaBN
-    evals. Note TEST.IMS_PER_BATCH must be >= D for the DP path to give any
-    speedup (a warning is emitted otherwise); multi-process (multi-host)
-    meshes are not supported by this path — dp is forced to 1 there (the
-    multihost worker path uses make_array_from_process_local_data).
+    final record; the padded rows are never visited (only the batch's own
+    image_ids are iterated — the image-id dedup handles the LOADER's
+    final-batch repeats, not the pad). With `train_mode_bn=True` such
+    padding joins the batch statistics, so keep TEST.IMS_PER_BATCH a
+    multiple of the mesh width for bit-exact AdaBN evals. Note
+    TEST.IMS_PER_BATCH must be >= D for the DP path to give any speedup (a
+    warning is emitted otherwise).
+
+    On a MULTI-PROCESS mesh the loop shards BATCHES round-robin across
+    processes instead (the reference's DDP eval contract: each rank infers
+    its dataset shard, results are gathered — d2 inference_on_dataset):
+    each process runs the local single-device infer graph on batches where
+    `batch_index % process_count == process_index`, the per-image records
+    are exchanged with a byte-level allgather, and EVERY process evaluates
+    the merged set (identical results on all ranks). Cross-process
+    duplicates from the loader's final-batch repeats are dropped at merge.
     """
     if evaluators is None:
         evaluators = [COCOEvaluator(thing_classes), F1Evaluator()]
-    dump = [] if dump_json else None
 
     if jit_infer is None:
         jit_infer = jax.jit(
             lambda v, img, sz: detector.infer(v, img, sz, train_mode_bn=train_mode_bn)
         )
 
+    nproc = jax.process_count()
+    pid = jax.process_index()
     dp = 1
+    multihost = False
     if mesh is not None and "data" in mesh.axis_names and mesh.shape["data"] > 1:
-        if jax.process_count() > 1:
+        if nproc > 1:
             # plain device_put of host-local numpy can't target a sharding
-            # spanning non-addressable devices, and process() materializes
-            # outputs with np.asarray — route multihost eval through the
-            # single-device path instead (ADVICE r3).
-            import warnings
-
-            warnings.warn(
-                "data-parallel eval is single-process only; falling back to "
-                "dp=1 on this multi-process mesh"
-            )
+            # spanning non-addressable devices — shard batches round-robin
+            # across processes and gather records instead (DDP-eval shape).
+            multihost = True
         else:
             from ..parallel.mesh import replicate, shard_batch
 
@@ -115,6 +142,7 @@ def inference_on_dataset(
         return jit_infer(variables, img, sz)
 
     seen = set()
+    records = []
 
     def process(batch, dets):
         boxes = np.asarray(dets.boxes)
@@ -137,36 +165,22 @@ def inference_on_dataset(
             h, w = float(batch["heights"][i]), float(batch["widths"][i])
             file_boxes = np.clip(file_boxes, 0, [w, h, w, h])
             gt_keep = batch["gt_valid"][i]
-            gt_boxes = batch["gt_boxes"][i][gt_keep] * inv
-            if dump is not None:
-                for b, sc, c in zip(file_boxes, scores[i][keep], classes[i][keep]):
-                    cat = category_ids.get(int(c), int(c) + 1) if category_ids else int(c) + 1
-                    dump.append(
-                        {
-                            "image_id": img_id,
-                            "category_id": cat,
-                            "bbox": [
-                                float(b[0]),
-                                float(b[1]),
-                                float(b[2] - b[0]),
-                                float(b[3] - b[1]),
-                            ],
-                            "score": float(sc),
-                        }
-                    )
-            for ev in evaluators:
-                ev.process_image(
-                    img_id,
-                    file_boxes,
-                    scores[i][keep],
-                    classes[i][keep],
-                    gt_boxes,
-                    batch["gt_classes"][i][gt_keep],
-                )
+            records.append(
+                {
+                    "image_id": img_id,
+                    "boxes": file_boxes,
+                    "scores": scores[i][keep],
+                    "classes": classes[i][keep],
+                    "gt_boxes": batch["gt_boxes"][i][gt_keep] * inv,
+                    "gt_classes": np.asarray(batch["gt_classes"][i][gt_keep]),
+                }
+            )
 
     inflight = collections.deque()
     depth = max(1, int(pipeline_depth))  # TPU.EVAL_PIPELINE_DEPTH
-    for batch in loader:
+    for bi, batch in enumerate(loader):
+        if multihost and bi % nproc != pid:
+            continue
         dets = dispatch(batch)
         inflight.append((batch, dets))
         if len(inflight) >= depth:
@@ -174,10 +188,47 @@ def inference_on_dataset(
     while inflight:
         process(*inflight.popleft())
 
-    if dump is not None:
+    if multihost:
+        merged, seen = [], set()
+        for rec in _allgather_records(records):
+            if rec["image_id"] in seen:  # cross-process final-batch repeats
+                continue
+            seen.add(rec["image_id"])
+            merged.append(rec)
+        records = sorted(merged, key=lambda r: r["image_id"])
+
+    for rec in records:
+        for ev in evaluators:
+            ev.process_image(
+                rec["image_id"],
+                rec["boxes"],
+                rec["scores"],
+                rec["classes"],
+                rec["gt_boxes"],
+                rec["gt_classes"],
+            )
+
+    if dump_json and (not multihost or pid == 0):
         import json
         import os
 
+        dump = []
+        for rec in records:
+            for b, sc, c in zip(rec["boxes"], rec["scores"], rec["classes"]):
+                cat = category_ids.get(int(c), int(c) + 1) if category_ids else int(c) + 1
+                dump.append(
+                    {
+                        "image_id": rec["image_id"],
+                        "category_id": cat,
+                        "bbox": [
+                            float(b[0]),
+                            float(b[1]),
+                            float(b[2] - b[0]),
+                            float(b[3] - b[1]),
+                        ],
+                        "score": float(sc),
+                    }
+                )
         os.makedirs(os.path.dirname(dump_json) or ".", exist_ok=True)
         with open(dump_json, "w") as f:
             json.dump(dump, f)

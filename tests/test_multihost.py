@@ -40,6 +40,35 @@ def test_two_process_grad_allreduce():
         assert f"MULTIHOST_OK proc={pid}" in out
 
 
+def test_two_process_eval():
+    """Multi-process dataset evaluation (engine/eval_loop.py multihost
+    path): 2 processes shard the eval batches round-robin, allgather the
+    per-image records, and every rank's merged metrics must equal the
+    single-process result. ims_per_batch=3 over 10 images also exercises
+    the loader's final-batch repeats landing on a DIFFERENT process than
+    the originals (cross-process dedup at merge)."""
+    worker = os.path.join(os.path.dirname(__file__), "multihost_eval_worker.py")
+    coordinator = f"localhost:{_free_port()}"
+    env = {k: v for k, v in os.environ.items() if k != "XLA_FLAGS"}
+    procs = [
+        subprocess.Popen(
+            [sys.executable, worker, coordinator, "2", str(pid), "3"],
+            stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT,
+            text=True,
+            env=env,
+        )
+        for pid in range(2)
+    ]
+    outs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=300)
+        outs.append(out)
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"proc {pid} failed:\n{out}"
+        assert f"MULTIHOST_EVAL_OK proc={pid}" in out
+
+
 def test_two_process_two_device_grad_allreduce():
     """2 processes x 2 local devices = a 4-way global mesh: the collective
     must ride both the intra-process (device) and inter-process boundaries
