@@ -126,8 +126,19 @@ class AdaptiveTeacherTrainer(SourceFreeAdaptiveTeacherTrainer):
             rngs = jax.random.split(k_strong, tgt_images.shape[0])
             tgt_strong = jax.vmap(T.strong_augment)(rngs, tgt_weak)
 
-            # teacher pseudo-labels on weak target
-            dets = det.infer(state.teacher_variables(), tgt_weak, tgt_sizes, topk=pseudo_capacity)
+            # teacher pseudo-labels on weak target. Like SFAT, the reference
+            # teacher is never .eval()'d (adaptive_teacher.py:237-242): the
+            # pseudo forward runs TRAIN-mode BN and nudges the teacher's
+            # running stats (torch train-mode side effect, momentum 0.1);
+            # during burn-in the nudges are irrelevant — the boundary hard
+            # copy (rate 0) replaces the whole teacher tree.
+            tvars = state.teacher_variables()
+            feat_teach, mut_t = det._features(tvars, tgt_weak, True, mutable=True)
+            teacher_stats_fwd = mut_t.get("batch_stats", {})
+            dets = det.infer_from_feature(
+                tvars, feat_teach, tgt_sizes, tuple(tgt_images.shape[1:3]),
+                topk=pseudo_capacity,
+            )
             dets = jax.tree.map(jax.lax.stop_gradient, dets)
             pseudo_gt = Instances(
                 boxes=dets.boxes,
@@ -224,7 +235,7 @@ class AdaptiveTeacherTrainer(SourceFreeAdaptiveTeacherTrainer):
             do_ema = (~in_burn_up) & ((state.step % update_iter) == 0)
             rate = jnp.where(at_boundary, 0.0, jnp.where(do_ema, keep_rate, 1.0))
             new_teacher_params = ema_update(state.teacher_params, new_params["det"], rate)
-            new_teacher_stats = ema_update(state.teacher_stats, new_stats, rate)
+            new_teacher_stats = ema_update(teacher_stats_fwd, new_stats, rate)
 
             metrics["total_loss"] = total
             metrics["num_pseudo"] = jnp.sum(pseudo_gt.valid.astype(jnp.int32))

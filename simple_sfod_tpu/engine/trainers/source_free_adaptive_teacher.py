@@ -119,13 +119,18 @@ class SourceFreeAdaptiveTeacherTrainer(BaseTrainer):
         copy = lambda tree: jax.tree.map(
             lambda x: jnp.array(x, dtype=teacher_dtype or x.dtype), tree
         )
+        # running stats stay f32 even when the fixed teacher's params are
+        # bf16: train-mode BN normalises by batch statistics so they are off
+        # the hot path, but they accumulate the pseudo forward's 0.1-momentum
+        # nudges (flax writes the f32 update, so f32 also keeps the state
+        # pytree dtype stable across the donated/scanned step).
         return TeacherStudentState(
             step=jnp.zeros((), jnp.int32),
             params=params,
             batch_stats=batch_stats,
             opt_state=self.optimizer.init(params),
             teacher_params=copy(det_params),
-            teacher_stats=copy(batch_stats),
+            teacher_stats=jax.tree.map(jnp.array, batch_stats),
             thresh=AdaptiveThresholdState.create(
                 self.det_cfg.num_classes, self.cfg.ADAPTIVE_THRESHOLD.RESERVE
             ),
@@ -410,10 +415,24 @@ class SourceFreeAdaptiveTeacherTrainer(BaseTrainer):
                     loss_fn, has_aux=True
                 )(state.params)
             else:
-                # 3. fixed-teacher pseudo-labels on the weak view (separate
+                # 3. teacher pseudo-labels on the weak view (separate
                 # parameter tree -> separate pass; bf16 teacher params halve
-                # its prefetch traffic)
-                dets = det.infer(state.teacher_variables(), images_w, sizes, topk=pseudo_capacity)
+                # its prefetch traffic). The reference teacher is NEVER put
+                # in eval mode — the .eval() block at ref sfat.py:374-383 is
+                # commented out — so its pseudo forward runs TRAIN-mode BN
+                # (each batch normalised by its own statistics) and, as the
+                # torch train-mode side effect, nudges the teacher's running
+                # stats toward the target domain (momentum 0.1). Both
+                # semantics reproduced: a mutable train-mode forward whose
+                # updated batch_stats become the step's new teacher_stats
+                # (then EMA-blended where ema_enabled, matching the
+                # state_dict() blend of _update_teacher_model :583-603).
+                tvars = state.teacher_variables()
+                feat_tw, mut_t = det._features(tvars, images_w, True, mutable=True)
+                teacher_stats_fwd = mut_t.get("batch_stats", {})
+                dets = det.infer_from_feature(
+                    tvars, feat_tw, sizes, canvas, topk=pseudo_capacity
+                )
                 pseudo_gt, new_thresh, pstats = pseudo_pipeline(dets, state.thresh, state.step)
                 batch = DetectionBatch(images=images_s, sizes=sizes, gt=pseudo_gt)
 
@@ -453,15 +472,21 @@ class SourceFreeAdaptiveTeacherTrainer(BaseTrainer):
             )
 
             # 7. EMA teacher update (reference :583-603; disabled in the main
-            # variant, enabled in _single/_mosaic)
+            # variant, enabled in _single/_mosaic). Teacher-pseudo variants
+            # blend on top of the stats the teacher's own train-mode pseudo
+            # forward just nudged (the reference's buffer order: BN momentum
+            # update during the no_grad forward, then the state_dict EMA).
+            teacher_stats_base = (
+                state.teacher_stats if pseudo_from_student else teacher_stats_fwd
+            )
             if ema_enabled:
                 do_update = (state.step % update_iter) == 0
                 rate = jnp.where(do_update, keep_rate, 1.0)
                 new_teacher_params = ema_update(state.teacher_params, new_params["det"], rate)
-                new_teacher_stats = ema_update(state.teacher_stats, new_stats, rate)
+                new_teacher_stats = ema_update(teacher_stats_base, new_stats, rate)
             else:
                 new_teacher_params = state.teacher_params
-                new_teacher_stats = state.teacher_stats
+                new_teacher_stats = teacher_stats_base
 
             metrics["total_loss"] = total
             metrics.update(pstats)

@@ -211,6 +211,122 @@ def run_sfat_lockstep(n_steps: int = 30, seed: int = 0) -> Dict:
     }
 
 
+def run_sfat_main_lockstep(n_steps: int = 8, seed: int = 0) -> Dict:
+    """Lockstep differential for the FIXED-TEACHER main variant
+    (`source_free_adaptive_teacher`): pseudo-labels come from a separate
+    teacher model that is never .eval()'d (reference sfat.py:385-390, the
+    .eval() block at :374-383 commented out), so its pseudo forward runs
+    train-mode BN and NUDGES the teacher's running stats; there is no EMA
+    (ref :581 commented out). Compares per step: pseudo sets, losses,
+    student drift, and the TEACHER tree — params must stay exactly at init
+    on both sides while the running stats move in lockstep (means to float
+    noise, vars up to the known biased/unbiased factor)."""
+    cfg = sfat_lockstep_cfg()
+    cfg.TRAINER = "source_free_adaptive_teacher"
+    tr = build_trainer(cfg, synthetic=True)
+
+    state = tr.state
+    det_params = _boost_cls_bias(state.params["det"])
+    # Offset the STUDENT from the (fixed) teacher: at teacher == student the
+    # pseudo boxes are the student's own decoded outputs and the
+    # box-regression L1 sits at its structural zero (gradient =
+    # sign(float-noise) — the `_single` chaos mechanism). A small bbox_pred
+    # bias shift, applied identically on both frameworks, makes the
+    # regression targets real so the main variant locksteps tightly.
+    student_params = copy.deepcopy(det_params)
+    student_params["predictor"]["bbox_pred"]["bias"] = (
+        np.asarray(student_params["predictor"]["bbox_pred"]["bias"]) + 1e-2
+    )
+    params = dict(state.params)
+    params["det"] = student_params
+    tr.state = state.replace(
+        params=params,
+        teacher_params=copy.deepcopy(det_params),
+    )
+    stats0 = jax.device_get(tr.state.batch_stats)
+
+    def fresh(tree):
+        tm = TorchTinyFasterRCNN(
+            num_classes=tr.det_cfg.num_classes,
+            num_anchors=tr.det_cfg.num_anchors,
+            fc_dim=tr.det_cfg.fc_dim,
+            pooler=tr.det_cfg.pooler_resolution,
+        )
+        tm.load_flax(tree, stats0)
+        return tm
+
+    student, teacher = fresh(student_params), fresh(det_params)
+    anchors = np.asarray(anchors_for(tr.det_cfg, CANVAS))
+    mirror = TorchSFATSingleMirror(
+        student, tr.det_cfg, anchors,
+        lr=LR, momentum=MOMENTUM, weight_decay=WEIGHT_DECAY,
+        bbox_threshold=BBOX_THRESHOLD,
+        unsup_weight=float(cfg.SEMISUPNET.UNSUP_LOSS_WEIGHT),
+    )
+    mirror.teacher_model = teacher
+
+    rs = np.random.RandomState(seed + 17)
+    sizes = np.asarray([[CANVAS[0], CANVAS[1]]] * BATCH, np.int32)
+    teacher_params0 = _flatten_params(det_params, {})
+
+    out = {
+        "loss_rel": [], "pseudo_jax": [], "pseudo_torch": [],
+        "param_drift": [], "teacher_mean_rel": [], "teacher_var_rel": [],
+        "teacher_param_frozen_jax": True, "teacher_param_frozen_torch": True,
+    }
+    for _ in range(n_steps):
+        images = rs.randint(0, 256, (BATCH, *CANVAS, 3)).astype(np.uint8)
+        metrics = tr.run_step({"images": images, "sizes": sizes})
+        t_metrics = mirror.adapt_step(
+            images.transpose(0, 3, 1, 2).astype(np.float32), CANVAS
+        )
+        out["loss_rel"].append(
+            abs(float(metrics["total_loss"]) - t_metrics["total_loss"])
+            / max(abs(t_metrics["total_loss"]), 1e-9)
+        )
+        out["pseudo_jax"].append(int(metrics["num_pseudo"]))
+        out["pseudo_torch"].append(int(t_metrics["num_pseudo"]))
+
+        a = _flatten_params(
+            jax.device_get(tr.state.params["det"]), jax.device_get(tr.state.batch_stats)
+        )
+        b = student.export_flax_like()
+        out["param_drift"].append(max(
+            float(np.linalg.norm(a[k] - b[k]) / max(np.linalg.norm(b[k]), 1e-4))
+            for k in b if k in a
+        ))
+        # teacher tree: params frozen at init, stats nudged in lockstep
+        ja = _flatten_params(
+            jax.device_get(tr.state.teacher_params),
+            jax.device_get(tr.state.teacher_stats),
+        )
+        tb = teacher.export_flax_like()
+        mean_rel, var_rel = 0.0, 0.0
+        for k in tb:
+            if k not in ja:
+                continue
+            rel = float(
+                np.linalg.norm(ja[k] - tb[k]) / max(np.linalg.norm(tb[k]), 1e-4)
+            )
+            if k.endswith("/mean"):
+                mean_rel = max(mean_rel, rel)
+            elif k.endswith("/var"):
+                var_rel = max(var_rel, rel)
+            else:
+                if not np.array_equal(ja[k], teacher_params0[k]):
+                    out["teacher_param_frozen_jax"] = False
+                if not np.array_equal(tb[k], teacher_params0[k]):
+                    out["teacher_param_frozen_torch"] = False
+        out["teacher_mean_rel"].append(mean_rel)
+        out["teacher_var_rel"].append(var_rel)
+    stats0_flat = _flatten_params({}, stats0)
+    final = _flatten_params({}, jax.device_get(tr.state.teacher_stats))
+    out["teacher_stats_moved"] = any(
+        not np.array_equal(final[k], stats0_flat[k]) for k in stats0_flat
+    )
+    return out
+
+
 def run_chaos_floor(n_steps: int = 12, seed: int = 0, eps: float = 1e-6) -> Dict:
     """The intrinsic chaos floor of the SFAT adaptation step, measured
     torch-vs-torch: two IDENTICAL mirrors, one with a single eps-perturbed

@@ -35,6 +35,42 @@ pytestmark = pytest.mark.skipif(
 )
 
 
+def test_sfat_main_fixed_teacher_lockstep():
+    """Fixed-teacher MAIN variant (`source_free_adaptive_teacher`): the
+    reference teacher is never .eval()'d, so pseudo-labelling runs
+    train-mode BN on the teacher AND nudges the teacher's running stats;
+    EMA is disabled (ref sfat.py:581). With the student offset from the
+    teacher (see the runner: at teacher == student the pseudo boxes are
+    the student's own outputs — the `_single` structural-zero chaos), the
+    pseudo GT is a real regression target and the lockstep holds TIGHTLY
+    for every compared step (measured: loss_rel <= 5e-7, param drift
+    <= 6e-4 over 8 steps — pure float noise, no chaos onset)."""
+    from sfat_lockstep_runner import run_sfat_main_lockstep
+
+    out = run_sfat_main_lockstep(n_steps=8, seed=0)
+
+    assert sum(out["pseudo_jax"]) > 0, out["pseudo_jax"]
+    # fixed teacher -> deterministic pseudo stream: sets agree step by step
+    assert out["pseudo_jax"] == out["pseudo_torch"], (
+        out["pseudo_jax"],
+        out["pseudo_torch"],
+    )
+    assert max(out["loss_rel"]) < 1e-4, out["loss_rel"]
+    # no chaos mechanism: drift stays float-noise-sized for all 8 steps
+    assert out["param_drift"][-1] < 5e-3, out["param_drift"]
+
+    # teacher params must stay bit-exact at init on BOTH sides
+    assert out["teacher_param_frozen_jax"]
+    assert out["teacher_param_frozen_torch"]
+    # ... while the running stats move in lockstep: means to float noise,
+    # vars within the known biased/unbiased factor (1/(n-1), n = B*H*W of
+    # the smallest BN input = 2*32*64 here)
+    assert max(out["teacher_mean_rel"]) < 1e-4, out["teacher_mean_rel"]
+    assert max(out["teacher_var_rel"]) < 4.5e-4, out["teacher_var_rel"]
+    # and they DID move (the nudge is real, not a no-op)
+    assert out["teacher_stats_moved"]
+
+
 def test_sfat_lockstep_vs_chaos_floor():
     from sfat_lockstep_runner import run_chaos_floor, run_sfat_lockstep
 

@@ -109,6 +109,38 @@ class TestSFATStep:
         # threshold bookkeeping advanced
         assert int(tr.state.thresh.cursor) == 1
 
+    def test_main_variant_teacher_bn_nudge(self):
+        """The reference teacher is never .eval()'d (sfat.py:374-390, the
+        .eval() block commented out): its pseudo forward runs TRAIN-mode BN
+        and — the torch train-mode side effect — nudges the teacher's
+        running stats. The step's new teacher_stats must equal exactly one
+        mutable train-mode forward of the PRE-step teacher on the weak view
+        (flip off -> the raw batch), while teacher params stay fixed."""
+        cfg = tiny_cfg(
+            "source_free_adaptive_teacher",
+            **{"INPUT.RANDOM_FLIP": "none", "WEAK_STRONG_AUGMENT": False},
+        )
+        tr = build_trainer(cfg, synthetic=True)
+        batch = one_batch(tr.cfg, tr.build_train_loader())
+        tvars0 = jax.device_get(tr.state.teacher_variables())
+        tr.run_step(batch)
+        got = jax.device_get(tr.state.teacher_stats)
+        images = jnp.asarray(batch["images"]).astype(jnp.float32)
+        _, mut = tr.detector._features(
+            jax.tree.map(jnp.asarray, tvars0), images, True, mutable=True
+        )
+        want = jax.device_get(mut["batch_stats"])
+        jax.tree.map(
+            lambda a, b: np.testing.assert_allclose(a, b, rtol=1e-6, atol=1e-6),
+            got,
+            want,
+        )
+        # the nudge is real: stats moved off their init values
+        moved = jax.tree.map(
+            lambda a, b: float(jnp.abs(a - b).max()), tvars0["batch_stats"], got
+        )
+        assert max(jax.tree.leaves(moved)) > 0
+
     def test_single_variant_ema_moves_teacher(self):
         cfg = tiny_cfg("source_free_adaptive_teacher_single")
         cfg.SEMISUPNET.EMA_KEEP_RATE = 0.5

@@ -520,16 +520,23 @@ class TorchSFATSingleMirror(TorchLockstepTrainer):
         self.unsup_weight = unsup_weight
         self.keep_rate = ema_keep_rate
         self.teacher = {k: v.copy() for k, v in model.export_flax_like().items()}
+        # Fixed-teacher MAIN variant (reference sfat.py: pseudo from a
+        # separate model_teacher that is never .eval()'d, EMA at :581
+        # commented out): set to a second TorchTinyFasterRCNN and
+        # adapt_step detects with ITS heads on ITS train-mode features
+        # (nudging ITS running stats), with no EMA update.
+        self.teacher_model = None
 
     @torch.no_grad()
-    def detect(self, feat: torch.Tensor, hw: Tuple[int, int]):
+    def detect(self, feat: torch.Tensor, hw: Tuple[int, int], model=None):
         """Detector.infer_from_feature: RPN propose (test top-k) -> ROIAlign
         -> box head -> fast_rcnn_inference (softmax minus background column,
         per-class decode+clip, score > SCORE_THRESH_TEST, per-class NMS,
         DETECTIONS_PER_IMAGE top-k). Returns per-image (boxes, scores,
-        classes), score-descending."""
+        classes), score-descending. `model` overrides the head-owner (the
+        fixed-teacher main variant detects with the TEACHER's heads)."""
         cfg = self.cfg
-        m = self.model
+        m = model if model is not None else self.model
         obj, deltas = m.rpn(feat)
         proposals = self._propose(obj, deltas, hw, training=False)
         empty = (torch.zeros(0, 4), torch.zeros(0), torch.zeros(0, dtype=torch.long))
@@ -577,13 +584,15 @@ class TorchSFATSingleMirror(TorchLockstepTrainer):
         m = self.model
         m.train()
         x = self.normalize(images_nchw)
+        src = self.teacher_model if self.teacher_model is not None else m
+        src.train()  # pseudo forward is ALWAYS train-mode (ref never .eval()s)
         with torch.no_grad():
-            feat_w = m.features(x)  # weak pass: BN running-stat nudge #1
-            dets = self.detect(feat_w, hw)
+            feat_w = src.features(x)  # weak pass: BN running-stat nudge #1
+            dets = self.detect(feat_w, hw, model=src)
         pseudo_boxes, pseudo_classes = [], []
         n_pseudo = 0
         for boxes, scores, classes in dets:
-            sel = scores >= self.bbox_threshold  # threshold_bbox: >= cut
+            sel = scores > self.bbox_threshold  # threshold_bbox: strict > (ref :168)
             pseudo_boxes.append(boxes[sel])
             pseudo_classes.append(classes[sel])
             n_pseudo += int(sel.sum())
@@ -595,11 +604,20 @@ class TorchSFATSingleMirror(TorchLockstepTrainer):
         self.opt.zero_grad()
         total.backward()
         self.opt.step()
-        # EMA on the post-step tree (params + BN running stats), reference
-        # _update_teacher_model
-        ex = m.export_flax_like()
-        for k in self.teacher:
-            self.teacher[k] = self.keep_rate * self.teacher[k] + (1.0 - self.keep_rate) * ex[k]
+        if self.teacher_model is None:
+            # EMA on the post-step tree (params + BN running stats),
+            # reference _update_teacher_model (_single/_mosaic variants)
+            ex = m.export_flax_like()
+            for k in self.teacher:
+                self.teacher[k] = (
+                    self.keep_rate * self.teacher[k] + (1.0 - self.keep_rate) * ex[k]
+                )
+        else:
+            # fixed teacher: params frozen; only the running stats moved
+            # (nudged by the train-mode pseudo forward above)
+            self.teacher = {
+                k: v.copy() for k, v in self.teacher_model.export_flax_like().items()
+            }
         parts["total_loss"] = float(total.detach())
         parts["num_pseudo"] = n_pseudo
         parts["pseudo_classes"] = np.sort(
