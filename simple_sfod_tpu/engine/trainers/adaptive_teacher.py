@@ -124,7 +124,7 @@ class AdaptiveTeacherTrainer(SourceFreeAdaptiveTeacherTrainer):
             )
             tgt_weak, _ = apply_weak_aug(k_flip_t, tgt_images, tgt_sizes, dummy, flip)
             rngs = jax.random.split(k_strong, tgt_images.shape[0])
-            tgt_strong = jax.vmap(T.strong_augment)(rngs, tgt_weak)
+            tgt_strong = jax.vmap(T.strong_augment)(rngs, tgt_weak, tgt_sizes)
 
             # teacher pseudo-labels on weak target. Like SFAT, the reference
             # teacher is never .eval()'d (adaptive_teacher.py:237-242): the

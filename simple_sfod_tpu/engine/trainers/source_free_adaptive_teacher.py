@@ -342,7 +342,7 @@ class SourceFreeAdaptiveTeacherTrainer(BaseTrainer):
                 images_s = style.stylize(images_w)
             elif weak_strong:
                 rngs = jax.random.split(rng_strong, images.shape[0])
-                images_s = jax.vmap(T.strong_augment)(rngs, images_w)
+                images_s = jax.vmap(T.strong_augment)(rngs, images_w, sizes)
             else:
                 images_s = images_w
             b = images.shape[0]

@@ -75,7 +75,7 @@ class WQTrainer(BaseTrainer):
                 )
             if aug in ("wq", "mosaic_wq"):
                 rngs = jax.random.split(rng_strong, images.shape[0])
-                images = jax.vmap(T.strong_augment)(rngs, images)
+                images = jax.vmap(T.strong_augment)(rngs, images, sizes)
             batch = DetectionBatch(images=images, sizes=sizes, gt=gt)
 
             def loss_fn(params):
