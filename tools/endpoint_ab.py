@@ -166,7 +166,8 @@ def run_jax(seed: int, steps: int, train, eval_set) -> dict:
     return {"ap50": ap50, "final_loss": float(np.mean(losses[-20:]))}
 
 
-def run_torch(seed: int, steps: int, train, eval_set) -> dict:
+def run_torch(seed: int, steps: int, train, eval_set, sample_seed_base: int = 7,
+              cross_eval: bool = False) -> dict:
     import jax
     import numpy as _np
     import torch
@@ -194,7 +195,7 @@ def run_torch(seed: int, steps: int, train, eval_set) -> dict:
     mirror = TorchRealSamplingMirror(
         tm, det_cfg, _np.asarray(anchors_for(det_cfg, CANVAS)),
         lr=LR, momentum=MOMENTUM, weight_decay=WEIGHT_DECAY,
-        sample_seed=seed + 7,
+        sample_seed=seed + sample_seed_base,
     )
     losses = []
     for idxs in batches_for(train, steps, seed):
@@ -216,7 +217,38 @@ def run_torch(seed: int, steps: int, train, eval_set) -> dict:
         return b.numpy(), s.numpy(), c.numpy()
 
     ap50 = eval_ap50(det_fn, eval_set)
-    return {"ap50": ap50, "final_loss": float(np.mean(losses[-20:]))}
+    out = {"ap50": ap50, "final_loss": float(np.mean(losses[-20:]))}
+    if cross_eval:
+        # the torch-TRAINED weights through the JAX eval path: separates a
+        # training-dynamics difference from an eval-path bias (if the two
+        # eval stacks scored the same weights differently, the A/B delta
+        # would be an artifact of mirror.detect, not of training)
+        import jax.numpy as jnp
+
+        flat = tm.export_flax_like()
+        params, stats = {}, {}
+        for k, v in flat.items():
+            parts = k.split("/")
+            dst = stats if parts[-1] in ("mean", "var") else params
+            cur = dst
+            for p in parts[:-1]:
+                cur = cur.setdefault(p, {})
+            cur[parts[-1]] = _np.asarray(v)
+        jvars = {"params": params, "batch_stats": stats}
+        infer = jax.jit(det.infer)
+        sizes = jnp.asarray([[CANVAS[0], CANVAS[1]]], jnp.int32)
+
+        def jax_det_fn(img):
+            d = jax.device_get(infer(jvars, jnp.asarray(img[None]), sizes))
+            keep = _np.asarray(d.valid[0])
+            return (
+                _np.asarray(d.boxes[0])[keep],
+                _np.asarray(d.scores[0])[keep],
+                _np.asarray(d.classes[0])[keep],
+            )
+
+        out["ap50_jaxeval"] = eval_ap50(jax_det_fn, eval_set)
+    return out
 
 
 def main():
@@ -232,18 +264,35 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=400)
     ap.add_argument("--seeds", type=int, default=3)
+    ap.add_argument("--eval-images", type=int, default=N_EVAL,
+                    help="held-out eval set size (bigger = lower per-seed AP noise)")
+    ap.add_argument("--train-images", type=int, default=N_TRAIN)
+    ap.add_argument("--torch-torch", action="store_true",
+                    help="CONTROL: both arms are the torch mirror with "
+                    "different sampling seeds — the endpoint chaos floor "
+                    "the jax-vs-torch delta must be judged against")
+    ap.add_argument("--cross-eval", action="store_true",
+                    help="also score the torch-trained weights through the "
+                    "JAX eval path (ap50_jaxeval): eval-path bias control")
     ap.add_argument("--json", default=None)
     args = ap.parse_args()
 
-    train = make_dataset(N_TRAIN, seed=100)
-    eval_set = make_dataset(N_EVAL, seed=200)
+    train = make_dataset(args.train_images, seed=100)
+    eval_set = make_dataset(args.eval_images, seed=200)
 
-    out = {"steps": args.steps, "jax": [], "torch": []}
+    out = {"steps": args.steps, "eval_images": args.eval_images,
+           "train_images": args.train_images, "control": args.torch_torch,
+           "jax": [], "torch": []}
+    a_name = "torchB" if args.torch_torch else "jax"
     for seed in range(args.seeds):
-        rj = run_jax(seed, args.steps, train, eval_set)
-        print(f"[seed {seed}] jax:   AP50={rj['ap50']:.4f} loss={rj['final_loss']:.4f}", flush=True)
-        rt = run_torch(seed, args.steps, train, eval_set)
-        print(f"[seed {seed}] torch: AP50={rt['ap50']:.4f} loss={rt['final_loss']:.4f}", flush=True)
+        if args.torch_torch:
+            rj = run_torch(seed, args.steps, train, eval_set, sample_seed_base=1007)
+        else:
+            rj = run_jax(seed, args.steps, train, eval_set)
+        print(f"[seed {seed}] {a_name}: AP50={rj['ap50']:.4f} loss={rj['final_loss']:.4f}", flush=True)
+        rt = run_torch(seed, args.steps, train, eval_set, cross_eval=args.cross_eval)
+        xe = f" jaxeval={rt['ap50_jaxeval']:.4f}" if args.cross_eval else ""
+        print(f"[seed {seed}] torch: AP50={rt['ap50']:.4f} loss={rt['final_loss']:.4f}{xe}", flush=True)
         out["jax"].append(rj)
         out["torch"].append(rt)
 
@@ -253,6 +302,24 @@ def main():
     out["torch_mean"] = float(ta.mean())
     out["delta"] = float(abs(ja.mean() - ta.mean()))
     out["pooled_std"] = float(np.sqrt((ja.var(ddof=1) + ta.var(ddof=1)) / 2)) if len(ja) > 1 else None
+    # PAIRED analysis: arm i shares init + batch stream with arm i, so the
+    # per-seed difference cancels the (large) common seed effect — the CI
+    # this yields is the statement the parity question actually needs
+    if len(ja) > 1:
+        d = ja - ta
+        n = len(d)
+        se = float(d.std(ddof=1) / np.sqrt(n))
+        # two-sided 95% t quantiles for the n we realistically run
+        tq = {2: 12.71, 3: 4.30, 4: 3.18, 5: 2.78, 6: 2.57, 10: 2.26,
+              15: 2.14, 20: 2.09, 25: 2.06, 30: 2.05}
+        t95 = tq.get(n, 2.09 if n >= 18 else 2.26)
+        out["paired"] = {
+            "n": n,
+            "mean_delta": float(d.mean()),
+            "se": se,
+            "ci95_half_width": float(t95 * se),
+            "ci95": [float(d.mean() - t95 * se), float(d.mean() + t95 * se)],
+        }
     print(json.dumps({k: v for k, v in out.items() if not isinstance(v, list)}))
     if args.json:
         with open(args.json, "w") as f:

@@ -83,11 +83,11 @@ def fog_scene(scene, alpha: float):
     return np.round(fogged).astype(np.uint8), boxes, classes
 
 
-def make_target_sets(alpha: float):
+def make_target_sets(alpha: float, n_train: int = N_TRAIN, n_eval: int = N_EVAL):
     """(adaptation images, held-out fogged eval set). Fresh scene seeds —
     the target domain is a different draw of the same process, fogged."""
-    adapt = [fog_scene(s, alpha) for s in make_dataset(N_TRAIN, seed=300)]
-    evals = [fog_scene(s, alpha) for s in make_dataset(N_EVAL, seed=400)]
+    adapt = [fog_scene(s, alpha) for s in make_dataset(n_train, seed=300)]
+    evals = [fog_scene(s, alpha) for s in make_dataset(n_eval, seed=400)]
     return adapt, evals
 
 
@@ -300,7 +300,7 @@ def run_seed(seed: int, src_steps: int, adapt_steps: int, alpha: float,
 
 
 def main():
-    global BBOX_THRESHOLD
+    global BBOX_THRESHOLD, EMA_KEEP_RATE, UNSUP_WEIGHT
     import jax
 
     jax.config.update("jax_platforms", "cpu")
@@ -314,6 +314,11 @@ def main():
     ap.add_argument("--seeds", type=int, default=3)
     ap.add_argument("--fog", type=float, default=0.3)
     ap.add_argument("--threshold", type=float, default=BBOX_THRESHOLD)
+    ap.add_argument("--ema", type=float, default=EMA_KEEP_RATE,
+                    help="EMA keep rate (the `_single` stability knob)")
+    ap.add_argument("--unsup-weight", type=float, default=UNSUP_WEIGHT)
+    ap.add_argument("--eval-images", type=int, default=N_EVAL,
+                    help="held-out fogged eval set size")
     ap.add_argument(
         "--variant", choices=("single", "fixed"), default="single",
         help="single = `_single` (student pseudo + EMA teacher); fixed = "
@@ -322,13 +327,15 @@ def main():
     ap.add_argument("--json", default=None)
     args = ap.parse_args()
     BBOX_THRESHOLD = args.threshold
+    EMA_KEEP_RATE = args.ema
+    UNSUP_WEIGHT = args.unsup_weight
     trainer = {
         "single": "source_free_adaptive_teacher_single",
         "fixed": "source_free_adaptive_teacher",
     }[args.variant]
 
     src_train = make_dataset(N_TRAIN, seed=100)
-    adapt_set, eval_set = make_target_sets(args.fog)
+    adapt_set, eval_set = make_target_sets(args.fog, n_eval=args.eval_images)
 
     out = {
         "src_steps": args.src_steps,
@@ -336,6 +343,8 @@ def main():
         "fog": args.fog,
         "ema_keep_rate": EMA_KEEP_RATE,
         "bbox_threshold": BBOX_THRESHOLD,
+        "unsup_weight": UNSUP_WEIGHT,
+        "eval_images": args.eval_images,
         "variant": args.variant,
         "per_seed": [],
     }
@@ -365,6 +374,30 @@ def main():
     )
     out["delta_student"] = float(
         abs(out["jax_student_mean"] - out["torch_student_mean"])
+    )
+    # PAIRED per-seed deltas (both arms share the seed's source checkpoint
+    # and batch order): the CI on the mean paired delta is the parity claim
+    tq = {2: 12.71, 3: 4.30, 4: 3.18, 5: 2.78, 6: 2.57, 10: 2.26,
+          15: 2.14, 20: 2.09, 25: 2.06, 30: 2.05}
+    for who in ("student", "teacher"):
+        d = np.asarray(
+            [r["jax"][f"ap50_{who}"] - r["torch"][f"ap50_{who}"] for r in out["per_seed"]]
+        )
+        if len(d) > 1:
+            n = len(d)
+            se = float(d.std(ddof=1) / np.sqrt(n))
+            t95 = tq.get(n, 2.09 if n >= 18 else 2.26)
+            out[f"paired_{who}"] = {
+                "n": n,
+                "mean_delta": float(d.mean()),
+                "se": se,
+                "ci95_half_width": float(t95 * se),
+                "ci95": [float(d.mean() - t95 * se), float(d.mean() + t95 * se)],
+            }
+    # adaptation must beat the source floor for the comparison to be
+    # non-vacuous; record the margin explicitly
+    out["adaptation_margin_teacher"] = float(
+        out["jax_teacher_mean"] - out["source_mean"]
     )
     print(json.dumps({k: v for k, v in out.items() if k != "per_seed"}))
     if args.json:

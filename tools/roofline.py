@@ -54,13 +54,109 @@ def fpn_cfg():
     return cfg
 
 
+def eval_roofline(args):
+    """Roofline the PURE-FORWARD paths (VERDICT r4 weak #5): the eval
+    pipeline's jitted infer at each batch size, and (--serving) the exported
+    StableHLO deployment artifact — same methodology as the training steps
+    (cost_analysis floors + pipelined, input-varied, materialized timing)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from simple_sfod_tpu.engine.trainers import build_trainer
+    from simple_sfod_tpu.utils.bench import sfat_bench_cfg
+
+    cfg = sfat_bench_cfg(output_dir="/tmp/roofline_out")
+    tr = build_trainer(cfg, synthetic=True)
+    params = tr.state.params
+    det_params = params["det"] if isinstance(params, dict) and "det" in params else params
+    variables = {"params": det_params, "batch_stats": tr.state.batch_stats}
+    det = tr.detector
+    canvas = tuple(cfg.TPU.CANVAS)
+
+    for b in args.batches:
+        if args.serving:
+            from simple_sfod_tpu.engine.export import export_inference
+
+            exported = export_inference(det, variables, canvas, batch=b)
+            call = jax.jit(exported.call)
+            make_args = lambda img, sz: (img, sz)
+        else:
+            call = jax.jit(lambda v, img, sz: det.infer(v, img, sz))
+            make_args = lambda img, sz: (variables, img, sz)
+
+        rs = np.random.RandomState(0)
+        sizes = jnp.asarray(np.tile(np.asarray([[600, 1200]], np.int32), (b, 1)))
+        # device-resident input variants: timing must track the chip, not
+        # the tunnel upload, and identical (executable, inputs) reruns can
+        # be served cached (CLAUDE.md) — cycle distinct canvases
+        variants = [
+            jnp.asarray(rs.randint(0, 256, (b, *canvas, 3), np.uint8))
+            for _ in range(6)
+        ]
+        np.asarray(sum(jnp.sum(v.astype(jnp.float32)) for v in variants))  # staged
+
+        t0 = time.time()
+        compiled = call.lower(*make_args(variants[0], sizes)).compile()
+        compile_s = time.time() - t0
+        ca = compiled.cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        flops = float(ca.get("flops", 0.0))
+        byts = float(ca.get("bytes accessed", 0.0))
+        out = {
+            "workload": ("serving_artifact" if args.serving else "eval_forward"),
+            "canvas": list(canvas),
+            "batch": b,
+            "compile_s": round(compile_s, 1),
+            "flops_per_batch": flops,
+            "hbm_bytes_per_batch": byts,
+            "arith_intensity_flop_per_byte": round(flops / max(byts, 1.0), 1),
+            "bandwidth_floor_ms": round(byts / V5E_HBM_BPS * 1e3, 2),
+            "compute_floor_ms": round(flops / V5E_BF16_FLOPS * 1e3, 2),
+        }
+
+        if args.measure:
+            mat = lambda r: np.asarray(jax.tree.leaves(r)[0])  # materializing read
+            mat(call(*make_args(variants[0], sizes)))  # warm dispatch
+            n_disp = 12
+            rates = []
+            for w in range(args.windows):
+                t0 = time.perf_counter()
+                last = None
+                for i in range(n_disp):  # pipelined enqueue, one chip stream
+                    last = call(*make_args(variants[(w * n_disp + i) % len(variants)], sizes))
+                mat(last)
+                dt = time.perf_counter() - t0
+                rates.append(n_disp * b / dt)
+            rates.sort()
+            med = rates[len(rates) // 2]
+            out["measured_imgs_per_sec"] = round(med, 3)
+            out["measured_ms_per_batch"] = round(1e3 * b / med, 2)
+            floor = max(out["bandwidth_floor_ms"], out["compute_floor_ms"])
+            out["pct_of_roofline"] = round(100.0 * floor / out["measured_ms_per_batch"], 1)
+            out["windows"] = [round(r, 2) for r in rates]
+        print(json.dumps(out), flush=True)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--headline", action="store_true", help="SFAT adaptation step")
+    ap.add_argument("--eval", action="store_true", help="pure-forward eval path")
+    ap.add_argument("--serving", action="store_true",
+                    help="exported StableHLO artifact (implies the eval shape)")
+    ap.add_argument("--batches", nargs="*", type=int, default=[1, 4, 8])
     ap.add_argument("--measure", action="store_true", help="also time the step")
     ap.add_argument("--steps-per-dispatch", type=int, default=10)
     ap.add_argument("--windows", type=int, default=5)
     args = ap.parse_args()
+
+    if args.eval or args.serving:
+        from simple_sfod_tpu.utils.env import setup_cache
+
+        setup_cache()
+        eval_roofline(args)
+        return
 
     from simple_sfod_tpu.utils.env import setup_cache
 
