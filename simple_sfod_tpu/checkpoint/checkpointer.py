@@ -17,13 +17,43 @@ class Checkpointer:
     def __init__(self, output_dir: str, det_cfg: Optional[Any] = None):
         self.dir = os.path.abspath(output_dir)
         os.makedirs(self.dir, exist_ok=True)
-        self._ckpt = ocp.PyTreeCheckpointer()
+        self._ckpt_impl: Optional[ocp.Checkpointer] = None
         # DetectorConfig enabling direct MODEL.WEIGHTS = *.pth/*.pkl loading
         # (reference detection_ts_checkpointer.py:12-90 consumes torch files
         # with name-matching heuristics)
         self.det_cfg = det_cfg
         self._pending: Optional[threading.Thread] = None
         self._save_err: Optional[BaseException] = None
+
+    @property
+    def _ckpt(self) -> ocp.Checkpointer:
+        """Orbax checkpointer, built lazily (after any jax.distributed init).
+
+        Multi-process: orbax's own save/restore barriers span every process
+        by default, while this class enforces single-writer semantics (only
+        process 0 enters save) — rank 0 would deadlock at orbax's
+        'Checkpointer:save_start' barrier waiting for ranks that never call
+        it. Scoping each rank's orbax instance to ITSELF
+        (active_processes={me}, primary_host=me) makes every orbax barrier
+        trivial and every blob write local; cross-process coordination
+        stays where this framework owns it (replicated state + rank-0
+        writer + shared filesystem). Handler options mirror
+        PyTreeCheckpointer's defaults so single- and multi-process runs
+        read each other's checkpoints."""
+        if self._ckpt_impl is None:
+            if jax.process_count() > 1:
+                me = jax.process_index()
+                self._ckpt_impl = ocp.Checkpointer(
+                    ocp.PyTreeCheckpointHandler(
+                        use_ocdbt=True, use_zarr3=False
+                    ),
+                    multiprocessing_options=ocp.options.MultiprocessingOptions(
+                        primary_host=me, active_processes={me}
+                    ),
+                )
+            else:
+                self._ckpt_impl = ocp.PyTreeCheckpointer()
+        return self._ckpt_impl
 
     def _path(self, name: str) -> str:
         return os.path.join(self.dir, name)
@@ -46,7 +76,15 @@ class Checkpointer:
         complete (resume can never see a half-written checkpoint), the
         thread is non-daemon (process exit waits for durability), and every
         other Checkpointer entry point joins it first. Cross-INSTANCE readers
-        in the same process should use the default durable mode."""
+        in the same process should use the default durable mode.
+
+        Multi-process: single-writer. The train state is replicated (or its
+        shards reconstructible) across processes, so only process 0 persists
+        it — concurrent orbax saves from every rank into the same directory
+        would race on the blob and the marker (reference: d2 checkpoints on
+        the main process only)."""
+        if jax.process_count() > 1 and jax.process_index() != 0:
+            return
         host_state = jax.device_get(state)  # materializes the step's result
         self.wait()  # one save in flight at a time; surfaces earlier errors
         path = self._path(name)

@@ -519,6 +519,15 @@ class BaseTrainer:
         the data, starting FROM the loaded checkpoint's statistics. Only the
         backbone carries BN here (RPN/box heads are conv/FC-only), so the
         jitted `bn_update` feature forward is the whole train-mode effect."""
+        self.refine_bn_stats(max_batches=max_batches, loader=loader, chunk=chunk)
+        results = self.test()
+        self.checkpointer.save("adabn", self.state)
+        return results
+
+    def refine_bn_stats(self, max_batches: int = 1400, loader=None, chunk: int = 16):
+        """The BN-statistics recompute loop of test_refinement (factored so
+        multi-process AdaBN can run the refinement without the eval+save
+        tail; tests/test_multihost.py drives it on a cross-process mesh)."""
         loader = loader or self.build_train_loader()
         bn_step = jax.jit(
             lambda variables, images: self.detector.bn_update(variables, images)
@@ -560,9 +569,6 @@ class BaseTrainer:
         for images in pending:  # tail smaller than one chunk
             new_stats = bn_step(self.state.variables(), self._shard(images))
             self.state = self.state.replace(batch_stats=new_stats)
-        results = self.test()
-        self.checkpointer.save("adabn", self.state)
-        return results
 
     def adabn_refinement(self, max_batches: int = 1400, loader=None) -> Dict:
         """Reset BN stats, then recompute them on the (target) train set and

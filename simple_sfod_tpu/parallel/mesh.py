@@ -28,9 +28,21 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
 def initialize_distributed(coordinator: Optional[str] = None, num_processes: int = 1, process_id: int = 0):
-    """Multi-host init (DCN). No-op single-process."""
+    """Multi-host init (DCN). No-op single-process.
+
+    After init, one throwaway global barrier establishes the cross-process
+    collective context (gloo on CPU, ICI/DCN cliques on TPU) while every
+    process is still in lockstep. Without it the context rendezvous happens
+    at the first REAL collective — which can sit behind a long, contention-
+    skewed compile on each process, and the rendezvous window (30 s for
+    gloo's GetKeyValue) is easy to miss. Paying it here, where skew is
+    microseconds, makes the first training/eval collective reuse the
+    already-built clique."""
     if num_processes > 1:
         jax.distributed.initialize(coordinator, num_processes, process_id)
+        from jax.experimental import multihost_utils
+
+        multihost_utils.sync_global_devices("simple_sfod_tpu:init")
 
 
 def make_mesh(data_axis: int = -1, model_axis: int = 1, devices=None) -> Mesh:
@@ -99,17 +111,33 @@ def shard_batch(mesh: Mesh, tree: Any, axis: int = 0, spatial: bool = False) -> 
             spec = P(*([None] * axis), "data", *rest)
         else:
             spec = P()
-        return jax.device_put(x, NamedSharding(mesh, spec))
+        return _place(mesh, x, spec)
 
     return jax.tree.map(put, tree)
+
+
+def _place(mesh: Mesh, x, spec: P):
+    """Place one host array under `spec` on a possibly MULTI-PROCESS mesh.
+
+    Single-process: plain device_put. Multi-process: device_put cannot
+    target a sharding that spans non-addressable devices, so each process
+    serves its own addressable shards out of the (identical) full host array
+    via make_array_from_callback — the multi-host loader contract is that
+    every process holds the same global batch (deterministic loaders), and
+    each process uploads only its slice. Numerics are therefore identical to
+    the single-process full-batch dispatch (tests/test_multihost.py)."""
+    sharding = NamedSharding(mesh, spec)
+    if jax.process_count() == 1:
+        return jax.device_put(x, sharding)
+    arr = np.asarray(x)
+    return jax.make_array_from_callback(arr.shape, sharding, lambda idx: arr[idx])
 
 
 def replicate(mesh: Mesh, tree: Any) -> Any:
     """Replicate a pytree (train state) over the mesh."""
     if mesh.devices.size == 1:
         return tree
-    sharding = NamedSharding(mesh, P())
-    return jax.tree.map(lambda x: jax.device_put(x, sharding), tree)
+    return jax.tree.map(lambda x: _place(mesh, x, P()), tree)
 
 
 def shard_state(mesh: Mesh, tree: Any) -> Any:
@@ -131,6 +159,6 @@ def shard_state(mesh: Mesh, tree: Any) -> Any:
             if name is not None:
                 names.append(str(name))
         spec = _tp_spec(names, np.shape(x), m)
-        return jax.device_put(x, NamedSharding(mesh, spec))
+        return _place(mesh, x, spec)
 
     return jax.tree_util.tree_map_with_path(put, tree)
