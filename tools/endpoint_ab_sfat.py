@@ -73,6 +73,13 @@ EMA_KEEP_RATE = 0.99
 # step 0. Override with --threshold.
 BBOX_THRESHOLD = 0.5
 UNSUP_WEIGHT = 1.0
+# Adaptation-phase LR. The `_single` student-pseudo loop is a positive-
+# feedback system: at the source-training LR (0.02) any sub-recall pseudo
+# set drives detection suppression faster than the BN/self-training gain
+# accrues (the r4 AP-0 collapses). A gentler adaptation LR is the
+# reference's own regime (its adaptation schedules run at the tail of a
+# warmup-decayed schedule, not the peak source LR). None = same LR.
+ADAPT_LR = None
 
 
 def fog_scene(scene, alpha: float):
@@ -101,6 +108,8 @@ def sfat_cfg(seed: int, trainer: str = "source_free_adaptive_teacher_single"):
     cfg = ab_cfg(seed).clone()
     cfg.defrost()
     cfg.TRAINER = trainer
+    if ADAPT_LR is not None:
+        cfg.SOLVER.BASE_LR = ADAPT_LR
     cfg.SEMISUPNET.BBOX_THRESHOLD = BBOX_THRESHOLD
     cfg.SEMISUPNET.EMA_KEEP_RATE = EMA_KEEP_RATE
     cfg.SEMISUPNET.TEACHER_UPDATE_ITER = 1
@@ -246,7 +255,8 @@ def run_adapt_torch(seed: int, steps: int, det_params, stats, adapt_set, eval_se
     tm.load_flax(det_params, stats)
     mirror = TorchRealSamplingMirror(
         tm, det_cfg, np.asarray(anchors_for(det_cfg, CANVAS)),
-        lr=LR, momentum=MOMENTUM, weight_decay=WEIGHT_DECAY,
+        lr=(ADAPT_LR if ADAPT_LR is not None else LR),
+        momentum=MOMENTUM, weight_decay=WEIGHT_DECAY,
         sample_seed=seed + 7,
     )
     # the SFAT knobs ride the TorchSFATSingleMirror defaults; pin them to the
@@ -300,7 +310,7 @@ def run_seed(seed: int, src_steps: int, adapt_steps: int, alpha: float,
 
 
 def main():
-    global BBOX_THRESHOLD, EMA_KEEP_RATE, UNSUP_WEIGHT
+    global BBOX_THRESHOLD, EMA_KEEP_RATE, UNSUP_WEIGHT, ADAPT_LR
     import jax
 
     jax.config.update("jax_platforms", "cpu")
@@ -317,6 +327,8 @@ def main():
     ap.add_argument("--ema", type=float, default=EMA_KEEP_RATE,
                     help="EMA keep rate (the `_single` stability knob)")
     ap.add_argument("--unsup-weight", type=float, default=UNSUP_WEIGHT)
+    ap.add_argument("--adapt-lr", type=float, default=None,
+                    help="adaptation-phase LR (default: the source LR)")
     ap.add_argument("--eval-images", type=int, default=N_EVAL,
                     help="held-out fogged eval set size")
     ap.add_argument(
@@ -329,6 +341,7 @@ def main():
     BBOX_THRESHOLD = args.threshold
     EMA_KEEP_RATE = args.ema
     UNSUP_WEIGHT = args.unsup_weight
+    ADAPT_LR = args.adapt_lr
     trainer = {
         "single": "source_free_adaptive_teacher_single",
         "fixed": "source_free_adaptive_teacher",
@@ -344,6 +357,7 @@ def main():
         "ema_keep_rate": EMA_KEEP_RATE,
         "bbox_threshold": BBOX_THRESHOLD,
         "unsup_weight": UNSUP_WEIGHT,
+        "adapt_lr": ADAPT_LR,
         "eval_images": args.eval_images,
         "variant": args.variant,
         "per_seed": [],
