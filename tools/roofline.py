@@ -74,16 +74,59 @@ def eval_roofline(args):
     det = tr.detector
     canvas = tuple(cfg.TPU.CANVAS)
 
+    # stage isolation (--stages): where does the gap to floor live?
+    #   features   — backbone+neck forward only (the MXU/HBM-bound core)
+    #   raw        — + RPN propose + ROI pool/head, NO NMS/threshold
+    #                (reference fast_rcnn_inference_new, the BPC path)
+    #   full       — production det.infer incl. per-class NMS + top-k
+    # full − raw = NMS/postprocess share; raw − features = proposal/ROI share.
+    stages = ("features", "raw", "full") if args.stages else ("full",)
+
     for b in args.batches:
+      for stage in stages:
         if args.serving:
             from simple_sfod_tpu.engine.export import export_inference
 
             exported = export_inference(det, variables, canvas, batch=b)
             call = jax.jit(exported.call)
             make_args = lambda img, sz: (img, sz)
+        elif stage == "features":
+            call = jax.jit(
+                lambda v, img, sz: det._features(v, img, False, mutable=False)
+            )
+            make_args = lambda img, sz: (variables, img, sz)
+        elif stage == "raw":
+            call = jax.jit(lambda v, img, sz: det.infer_raw(v, img, sz))
+            make_args = lambda img, sz: (variables, img, sz)
+        elif args.scan > 1:
+            # K batches per dispatch (lax.scan inside one executable): the
+            # eval analog of TPU.STEPS_PER_DISPATCH. On the tunnel each
+            # dispatch pays ~one RTT of device idle (CLAUDE.md); if the
+            # per-batch rate rises toward the floor as K grows, the eval
+            # gap is dispatch overhead, not the compiled graph.
+            K = args.scan
+
+            def scanned(v, imgs, szs):
+                def body(c, xy):
+                    img, sz = xy
+                    d = det.infer(v, img, sz)
+                    return c, (d.boxes, d.scores, d.classes, d.valid)
+
+                _, outs = jax.lax.scan(body, 0, (imgs, szs))
+                return outs
+
+            call = jax.jit(scanned)
+            make_args = lambda img, sz: (
+                variables,
+                jnp.stack([img] * K) if img.ndim == 4 else img,
+                jnp.stack([sz] * K) if sz.ndim == 2 else sz,
+            )
         else:
             call = jax.jit(lambda v, img, sz: det.infer(v, img, sz))
             make_args = lambda img, sz: (variables, img, sz)
+
+        # with --scan K one executable serves K batches; report per-batch
+        kfac = args.scan if (args.scan > 1 and stage == "full" and not args.serving) else 1
 
         rs = np.random.RandomState(0)
         sizes = jnp.asarray(np.tile(np.asarray([[600, 1200]], np.int32), (b, 1)))
@@ -94,6 +137,11 @@ def eval_roofline(args):
             jnp.asarray(rs.randint(0, 256, (b, *canvas, 3), np.uint8))
             for _ in range(6)
         ]
+        if kfac > 1:
+            # pre-stage the [K, b, ...] stacks so the timed loop dispatches
+            # exactly one executable per K batches (no per-call stack op)
+            variants = [jnp.stack([v] * kfac) for v in variants]
+            sizes = jnp.stack([sizes] * kfac)
         np.asarray(sum(jnp.sum(v.astype(jnp.float32)) for v in variants))  # staged
 
         t0 = time.time()
@@ -102,12 +150,14 @@ def eval_roofline(args):
         ca = compiled.cost_analysis()
         if isinstance(ca, (list, tuple)):
             ca = ca[0]
-        flops = float(ca.get("flops", 0.0))
-        byts = float(ca.get("bytes accessed", 0.0))
+        flops = float(ca.get("flops", 0.0)) / kfac
+        byts = float(ca.get("bytes accessed", 0.0)) / kfac
         out = {
             "workload": ("serving_artifact" if args.serving else "eval_forward"),
+            "stage": stage,
             "canvas": list(canvas),
             "batch": b,
+            "scan": kfac,
             "compile_s": round(compile_s, 1),
             "flops_per_batch": flops,
             "hbm_bytes_per_batch": byts,
@@ -128,7 +178,7 @@ def eval_roofline(args):
                     last = call(*make_args(variants[(w * n_disp + i) % len(variants)], sizes))
                 mat(last)
                 dt = time.perf_counter() - t0
-                rates.append(n_disp * b / dt)
+                rates.append(n_disp * b * kfac / dt)
             rates.sort()
             med = rates[len(rates) // 2]
             out["measured_imgs_per_sec"] = round(med, 3)
@@ -147,6 +197,11 @@ def main():
                     help="exported StableHLO artifact (implies the eval shape)")
     ap.add_argument("--batches", nargs="*", type=int, default=[1, 4, 8])
     ap.add_argument("--measure", action="store_true", help="also time the step")
+    ap.add_argument("--stages", action="store_true",
+                    help="eval gap isolation: features / raw (no NMS) / full")
+    ap.add_argument("--scan", type=int, default=1,
+                    help="eval: K batches per dispatch via lax.scan "
+                    "(dispatch-overhead isolation on the tunnel)")
     ap.add_argument("--steps-per-dispatch", type=int, default=10)
     ap.add_argument("--windows", type=int, default=5)
     args = ap.parse_args()
