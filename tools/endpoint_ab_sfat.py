@@ -234,7 +234,8 @@ def run_adapt_jax(seed: int, steps: int, det_params, stats, adapt_set, eval_set,
 
 
 def run_adapt_torch(seed: int, steps: int, det_params, stats, adapt_set, eval_set,
-                    trainer: str = "source_free_adaptive_teacher_single"):
+                    trainer: str = "source_free_adaptive_teacher_single",
+                    sample_seed_base: int = 7):
     from simple_sfod_tpu.config import detector_config_from_cfg
     from simple_sfod_tpu.models.faster_rcnn import anchors_for
 
@@ -257,7 +258,7 @@ def run_adapt_torch(seed: int, steps: int, det_params, stats, adapt_set, eval_se
         tm, det_cfg, np.asarray(anchors_for(det_cfg, CANVAS)),
         lr=(ADAPT_LR if ADAPT_LR is not None else LR),
         momentum=MOMENTUM, weight_decay=WEIGHT_DECAY,
-        sample_seed=seed + 7,
+        sample_seed=seed + sample_seed_base,
     )
     # the SFAT knobs ride the TorchSFATSingleMirror defaults; pin them to the
     # experiment's values explicitly (same numbers on the JAX side's cfg)
@@ -294,7 +295,8 @@ def run_adapt_torch(seed: int, steps: int, det_params, stats, adapt_set, eval_se
 
 def run_seed(seed: int, src_steps: int, adapt_steps: int, alpha: float,
              src_train, adapt_set, eval_set,
-             trainer: str = "source_free_adaptive_teacher_single") -> dict:
+             trainer: str = "source_free_adaptive_teacher_single",
+             torch_torch: bool = False) -> dict:
     import jax
 
     from simple_sfod_tpu.config import detector_config_from_cfg
@@ -304,7 +306,15 @@ def run_seed(seed: int, src_steps: int, adapt_steps: int, alpha: float,
     det = Detector(detector_config_from_cfg(ab_cfg(seed)))
     src_vars = {"params": det_params, "batch_stats": stats}
     ap_source = eval_ap50(jax_det_fn(det, src_vars), eval_set)
-    rj = run_adapt_jax(seed, adapt_steps, det_params, stats, adapt_set, eval_set, trainer)
+    if torch_torch:
+        # chaos-floor control: the SAME torch mirror twice, differing only in
+        # the RPN/ROI sampling-stream seed (endpoint_ab.py --torch-torch
+        # analog). The "jax" slot holds torchB so the paired-delta machinery
+        # below measures torch-vs-torch sampling chaos directly.
+        rj = run_adapt_torch(seed, adapt_steps, det_params, stats, adapt_set,
+                             eval_set, trainer, sample_seed_base=1007)
+    else:
+        rj = run_adapt_jax(seed, adapt_steps, det_params, stats, adapt_set, eval_set, trainer)
     rt = run_adapt_torch(seed, adapt_steps, det_params, stats, adapt_set, eval_set, trainer)
     return {"seed": seed, "ap50_source_on_target": ap_source, "jax": rj, "torch": rt}
 
@@ -336,6 +346,10 @@ def main():
         help="single = `_single` (student pseudo + EMA teacher); fixed = "
         "the main trainer (frozen-teacher pseudo w/ train-mode BN, no EMA)",
     )
+    ap.add_argument("--torch-torch", action="store_true",
+                    help="chaos-floor control: torchB (sampling stream 1007) "
+                    "in the jax slot vs torchA (stream 7); the paired deltas "
+                    "then measure pure sampling-stream chaos")
     ap.add_argument("--json", default=None)
     args = ap.parse_args()
     BBOX_THRESHOLD = args.threshold
@@ -360,11 +374,15 @@ def main():
         "adapt_lr": ADAPT_LR,
         "eval_images": args.eval_images,
         "variant": args.variant,
+        "control": args.torch_torch,
         "per_seed": [],
     }
+    if args.torch_torch:
+        print("[control] jax slot = torchB (sampling stream 1007)", flush=True)
     for seed in range(args.seeds):
         r = run_seed(seed, args.src_steps, args.adapt_steps, args.fog,
-                     src_train, adapt_set, eval_set, trainer)
+                     src_train, adapt_set, eval_set, trainer,
+                     torch_torch=args.torch_torch)
         out["per_seed"].append(r)
         print(
             f"[seed {seed}] source@target AP50={r['ap50_source_on_target']:.2f} | "
