@@ -82,8 +82,32 @@ class Checkpointer:
         shards reconstructible) across processes, so only process 0 persists
         it — concurrent orbax saves from every rank into the same directory
         would race on the blob and the marker (reference: d2 checkpoints on
-        the main process only)."""
-        if jax.process_count() > 1 and jax.process_index() != 0:
+        the main process only). Every rank calls save() at the same loop
+        point (the train loop runs on all processes), so a collective
+        barrier below is safe — and REQUIRED: without it a non-writer rank
+        has no durability signal and can read a stale or in-flight
+        `last_checkpoint` marker while rank 0 is still writing, silently
+        restoring diverged steps across ranks. Multi-process saves are
+        forced synchronous for the same reason (an async blob would leave
+        the barrier meaningless)."""
+        if jax.process_count() > 1:
+            if jax.process_index() == 0:
+                host_state = jax.device_get(state)
+                self.wait()
+                try:
+                    self._ckpt.save(self._path(name), host_state, force=True)
+                    with open(os.path.join(self.dir, "last_checkpoint"), "w") as f:
+                        f.write(name)
+                finally:
+                    # peers must not deadlock on a failed writer; the error
+                    # propagates on rank 0 after the barrier releases them
+                    from jax.experimental import multihost_utils
+
+                    multihost_utils.sync_global_devices(f"sfod-ckpt-{name}")
+            else:
+                from jax.experimental import multihost_utils
+
+                multihost_utils.sync_global_devices(f"sfod-ckpt-{name}")
             return
         host_state = jax.device_get(state)  # materializes the step's result
         self.wait()  # one save in flight at a time; surfaces earlier errors

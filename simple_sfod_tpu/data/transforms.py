@@ -114,11 +114,25 @@ def adjust_brightness(img, factor):
     return img * factor
 
 
-def adjust_contrast(img, factor):
+def adjust_contrast(img, factor, true_hw=None):
     # PIL ImageEnhance.Contrast blends against a CONSTANT int(mean(L) + 0.5)
-    # of the (quantized) grayscale image
-    mean = jnp.floor(jnp.mean(_pil_gray(img)) + 0.5)
-    return _blend(img, mean, factor)
+    # of the (quantized) grayscale image. The reference enhances the UNPADDED
+    # image, so on a padded canvas the mean must be taken over the content
+    # region only, and the blend (which writes mean*(1-f) everywhere) must be
+    # masked back to zero outside it — contrast is the one jitter op with a
+    # global statistic; the other three are pixel-wise and map 0 -> 0.
+    gray = _pil_gray(img)
+    if true_hw is None:
+        mean = jnp.floor(jnp.mean(gray) + 0.5)
+        return _blend(img, mean, factor)
+    h, w = img.shape[0], img.shape[1]
+    mask = (
+        (jnp.arange(h)[:, None] < true_hw[0])
+        & (jnp.arange(w)[None, :] < true_hw[1])
+    ).astype(img.dtype)
+    npix = jnp.maximum(true_hw[0] * true_hw[1], 1).astype(img.dtype)
+    mean = jnp.floor(jnp.sum(gray * mask) / npix + 0.5)
+    return _blend(img, mean, factor) * mask[..., None]
 
 
 def adjust_saturation(img, factor):
@@ -153,10 +167,13 @@ def adjust_hue(img, delta):
     return jnp.stack([chan(5.0), chan(3.0), chan(1.0)], axis=-1) * 255.0
 
 
-def color_jitter(rng, img, brightness=0.4, contrast=0.4, saturation=0.4, hue=0.1):
+def color_jitter(rng, img, brightness=0.4, contrast=0.4, saturation=0.4, hue=0.1,
+                 true_hw=None):
     """torchvision ColorJitter: all four sub-ops applied in a random
     permutation, each with a uniformly sampled factor, PIL-quantizing after
-    each op exactly like the reference's PIL pipeline."""
+    each op exactly like the reference's PIL pipeline. `true_hw` (traced
+    [h, w]) scopes the contrast mean to the content region of a padded
+    canvas (the other ops are pixel-wise and padding-safe)."""
     keys = jax.random.split(rng, 5)
     fb = jax.random.uniform(keys[0], (), minval=1 - brightness, maxval=1 + brightness)
     fc = jax.random.uniform(keys[1], (), minval=1 - contrast, maxval=1 + contrast)
@@ -168,7 +185,7 @@ def color_jitter(rng, img, brightness=0.4, contrast=0.4, saturation=0.4, hue=0.1
             i,
             [
                 lambda x: adjust_brightness(x, fb),
-                lambda x: adjust_contrast(x, fc),
+                lambda x: adjust_contrast(x, fc, true_hw=true_hw),
                 lambda x: adjust_saturation(x, fs),
                 lambda x: adjust_hue(x, fh),
             ],
@@ -300,7 +317,7 @@ def strong_augment(rng, img, true_hw=None):
     geometry to the image content like the reference's unpadded pipeline."""
     keys = jax.random.split(rng, 12)
     do_jit = jax.random.bernoulli(keys[0], 0.8)
-    jittered = color_jitter(keys[1], img)
+    jittered = color_jitter(keys[1], img, true_hw=true_hw)
     img = jnp.where(do_jit, jittered, img)
 
     do_gray = jax.random.bernoulli(keys[2], 0.2)

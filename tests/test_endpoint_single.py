@@ -31,14 +31,16 @@ pytestmark = pytest.mark.skipif(
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
 
 
-def test_single_ema_endpoint_adapts_and_agrees():
+def test_single_ema_endpoint_adapts_and_agrees(monkeypatch):
     import endpoint_ab_sfat as ab
 
-    # the round-5 stable operating point (see module docstring)
-    ab.BBOX_THRESHOLD = 0.5
-    ab.EMA_KEEP_RATE = 0.99
-    ab.UNSUP_WEIGHT = 0.5
-    ab.ADAPT_LR = 0.001
+    # the round-5 stable operating point (see module docstring); monkeypatch
+    # so the module-level knobs revert after this test (they are process-wide
+    # state any later import of the tool would otherwise inherit)
+    monkeypatch.setattr(ab, "BBOX_THRESHOLD", 0.5)
+    monkeypatch.setattr(ab, "EMA_KEEP_RATE", 0.99)
+    monkeypatch.setattr(ab, "UNSUP_WEIGHT", 0.5)
+    monkeypatch.setattr(ab, "ADAPT_LR", 0.001)
     fog, src_steps, adapt_steps, seeds = 0.2, 800, 300, 2
 
     src_train = ab.make_dataset(ab.N_TRAIN, seed=100)

@@ -83,6 +83,25 @@ class TestOpByOp:
         assert np.abs(got - want).max() <= 1.0
 
     @pytest.mark.parametrize("f", [0.6, 1.0, 1.4])
+    def test_contrast_padded_canvas_scoped_by_true_hw(self, f):
+        """The reference enhances the UNPADDED image; on a padded canvas the
+        content crop must match PIL contrast of the content alone, and the
+        padding must stay exactly zero (it feeds the backbone)."""
+        a = _img_u8(7, h=24, w=36)
+        canvas = np.zeros((48, 72, 3), np.float32)
+        canvas[:24, :36] = a
+        want = np.asarray(pil_contrast(_pil(a), f), np.float32)
+        got = np.asarray(
+            T._pil_u8(
+                T.adjust_contrast(
+                    jnp.asarray(canvas), f, true_hw=jnp.asarray([24, 36])
+                )
+            )
+        )
+        assert np.abs(got[:24, :36] - want).max() <= 1.0
+        assert got[24:].max() == 0.0 and got[:, 36:].max() == 0.0
+
+    @pytest.mark.parametrize("f", [0.6, 1.0, 1.4])
     def test_saturation(self, f):
         a = _img_u8(3)
         want = np.asarray(pil_saturation(_pil(a), f), np.float32)

@@ -30,6 +30,9 @@ import numpy as np
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tests"))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import ab_stats  # noqa: E402
 
 CANVAS = (64, 128)
 GT_CAP = 8
@@ -306,20 +309,7 @@ def main():
     # per-seed difference cancels the (large) common seed effect — the CI
     # this yields is the statement the parity question actually needs
     if len(ja) > 1:
-        d = ja - ta
-        n = len(d)
-        se = float(d.std(ddof=1) / np.sqrt(n))
-        # two-sided 95% t quantiles for the n we realistically run
-        tq = {2: 12.71, 3: 4.30, 4: 3.18, 5: 2.78, 6: 2.57, 10: 2.26,
-              15: 2.14, 20: 2.09, 25: 2.06, 30: 2.05}
-        t95 = tq.get(n, 2.09 if n >= 18 else 2.26)
-        out["paired"] = {
-            "n": n,
-            "mean_delta": float(d.mean()),
-            "se": se,
-            "ci95_half_width": float(t95 * se),
-            "ci95": [float(d.mean() - t95 * se), float(d.mean() + t95 * se)],
-        }
+        out["paired"] = ab_stats.paired_stats(ja, ta)
     print(json.dumps({k: v for k, v in out.items() if not isinstance(v, list)}))
     if args.json:
         with open(args.json, "w") as f:

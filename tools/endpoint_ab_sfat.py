@@ -60,6 +60,7 @@ from endpoint_ab import (  # noqa: E402
     BATCH, CANVAS, LR, MOMENTUM, N_EVAL, N_TRAIN, WEIGHT_DECAY,
     ab_cfg, batches_for, eval_ap50, make_dataset, to_batch,
 )
+import ab_stats  # noqa: E402
 
 FOG_GRAY = 150.0
 EMA_KEEP_RATE = 0.99
@@ -409,23 +410,11 @@ def main():
     )
     # PAIRED per-seed deltas (both arms share the seed's source checkpoint
     # and batch order): the CI on the mean paired delta is the parity claim
-    tq = {2: 12.71, 3: 4.30, 4: 3.18, 5: 2.78, 6: 2.57, 10: 2.26,
-          15: 2.14, 20: 2.09, 25: 2.06, 30: 2.05}
     for who in ("student", "teacher"):
-        d = np.asarray(
-            [r["jax"][f"ap50_{who}"] - r["torch"][f"ap50_{who}"] for r in out["per_seed"]]
-        )
-        if len(d) > 1:
-            n = len(d)
-            se = float(d.std(ddof=1) / np.sqrt(n))
-            t95 = tq.get(n, 2.09 if n >= 18 else 2.26)
-            out[f"paired_{who}"] = {
-                "n": n,
-                "mean_delta": float(d.mean()),
-                "se": se,
-                "ci95_half_width": float(t95 * se),
-                "ci95": [float(d.mean() - t95 * se), float(d.mean() + t95 * se)],
-            }
+        j = [r["jax"][f"ap50_{who}"] for r in out["per_seed"]]
+        t = [r["torch"][f"ap50_{who}"] for r in out["per_seed"]]
+        if len(j) > 1:
+            out[f"paired_{who}"] = ab_stats.paired_stats(j, t)
     # adaptation must beat the source floor for the comparison to be
     # non-vacuous; record the margin explicitly
     out["adaptation_margin_teacher"] = float(

@@ -80,7 +80,10 @@ def eval_roofline(args):
     #                (reference fast_rcnn_inference_new, the BPC path)
     #   full       — production det.infer incl. per-class NMS + top-k
     # full − raw = NMS/postprocess share; raw − features = proposal/ROI share.
-    stages = ("features", "raw", "full") if args.stages else ("full",)
+    # the serving branch times the exported artifact and ignores stage
+    # prefixes — running it three times under different labels would print
+    # identical rows a reader could wrongly difference
+    stages = ("features", "raw", "full") if (args.stages and not args.serving) else ("full",)
 
     for b in args.batches:
       for stage in stages:
@@ -172,10 +175,21 @@ def eval_roofline(args):
             n_disp = 12
             rates = []
             for w in range(args.windows):
+                # EVERY dispatch gets distinct content (identical
+                # (executable, inputs) reruns can be served cached on the
+                # tunnel — CLAUDE.md): a per-dispatch uint8 offset on a
+                # cycled base canvas, built + materialized BEFORE the timer
+                # so the offset op never lands in the measured window
+                win = [
+                    variants[i % len(variants)]
+                    + jnp.uint8(1 + (w * n_disp + i) % 250)
+                    for i in range(n_disp)
+                ]
+                np.asarray(sum(jnp.sum(v.astype(jnp.float32)) for v in win))
                 t0 = time.perf_counter()
                 last = None
-                for i in range(n_disp):  # pipelined enqueue, one chip stream
-                    last = call(*make_args(variants[(w * n_disp + i) % len(variants)], sizes))
+                for v in win:  # pipelined enqueue, one chip stream
+                    last = call(*make_args(v, sizes))
                 mat(last)
                 dt = time.perf_counter() - t0
                 rates.append(n_disp * b * kfac / dt)
