@@ -30,6 +30,17 @@ constexpr int kNumAreas = 4;  // all, small, medium, large
 const double kAreaLo[kNumAreas] = {0.0, 0.0, 32.0 * 32.0, 96.0 * 96.0};
 const double kAreaHi[kNumAreas] = {1e10, 32.0 * 32.0, 96.0 * 96.0, 1e10};
 
+// np.linspace(0.5, 0.95, 10) BIT-EXACTLY (pycocotools' iouThrs, and the
+// numpy fallback's IOU_THRS). Computing 0.5 + 0.05*t here diverges from
+// linspace by 1 ULP at t=7,8 — and a detection whose IoU ties the threshold
+// exactly then flips match/miss vs the numpy path. Hex literals pin the
+// exact doubles regardless of compiler FP contraction.
+const double kIouThr[kNumThr] = {
+    0x1.0000000000000p-1, 0x1.199999999999ap-1, 0x1.3333333333333p-1,
+    0x1.4cccccccccccdp-1, 0x1.6666666666666p-1, 0x1.8000000000000p-1,
+    0x1.999999999999ap-1, 0x1.b333333333333p-1, 0x1.cccccccccccccp-1,
+    0x1.e666666666666p-1};
+
 struct Box {
   double x1, y1, x2, y2;
   double area() const { return (x2 - x1) * (y2 - y1); }
@@ -111,7 +122,7 @@ ImgResult MatchImage(const ImgPrep& prep, const std::vector<Box>& gts_in,
   for (int i = 0; i < d; ++i) r.scores[i] = dets[i].score;
   if (d && g) {
     for (int t = 0; t < kNumThr; ++t) {
-      const double thr = 0.5 + 0.05 * t;
+      const double thr = kIouThr[t];
       std::vector<uint8_t> taken(g, 0);
       for (int i = 0; i < d; ++i) {
         int best = -1;
@@ -195,7 +206,10 @@ void ApCurve(const std::vector<ImgResult>& imgs, double* ap_out /*[kNumThr]*/,
     // 101-point interpolation
     double ap = 0.0;
     for (int ri = 0; ri < kNumRecall; ++ri) {
-      const double r = ri / 100.0;
+      // np.linspace(0, 1, 101) computes i * 0.01 (verified bit-equal in
+      // Python); ri / 100.0 differs by 1 ULP at 10 indices, which includes/
+      // excludes recall values that tie a threshold exactly (e.g. 7/20)
+      const double r = ri * 0.01;
       // first index with rec >= r
       auto it = std::lower_bound(rec.begin(), rec.end(), r);
       if (it != rec.end()) ap += prec[it - rec.begin()];
@@ -269,5 +283,14 @@ int coco_evaluate(const int64_t* det_img, const int32_t* det_cat,
     }
   }
   return 0;
+}
+
+// Layout handshake: the Python binding sizes/reshapes the flat `out` buffer
+// with its own copies of these constants — it calls this at load time and
+// refuses the library if they disagree (a silent mismatch would misparse
+// APs into wrong slots).
+void coco_layout(int32_t* num_thr, int32_t* num_areas) {
+  *num_thr = kNumThr;
+  *num_areas = kNumAreas;
 }
 }

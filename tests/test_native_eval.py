@@ -56,3 +56,56 @@ def test_native_matches_numpy(seed):
         np.nan_to_num(b["per_class_AP50"], nan=-1),
         atol=1e-6,
     )
+
+
+@pytest.mark.skipif(not available(), reason="native lib not built")
+def test_recall_exactly_on_threshold_matches_numpy():
+    """Recall landing EXACTLY on a 101-point threshold (7/20 = 0.35): the
+    C++ used ri/100.0, which differs from np.linspace(0,1,101) by 1 ULP at
+    10 indices (0.35 among them) and counted one extra interpolation point
+    — native AP50 35.64 vs numpy/pycocotools 34.65. Pinned here after the
+    ri*0.01 fix (bit-equal to linspace, verified in-python)."""
+    gb = [[10.0 * i, 10.0, 10.0 * i + 8.0, 18.0] for i in range(20)]
+    gts = {1: {"boxes": np.asarray(gb), "classes": np.zeros(20, np.int64)}}
+    dets = {
+        1: {
+            "boxes": np.asarray(gb[:7]),
+            "scores": np.linspace(0.9, 0.3, 7),
+            "classes": np.zeros(7, np.int64),
+        }
+    }
+    a = coco_map(dets, gts, 1)
+    b = coco_map_native(dets, gts, 1)
+    assert b is not None
+    # 35 thresholds (0.00..0.34 plus NOT the 1-ULP-above-0.35 point) of
+    # precision 1 -> 35/101
+    assert abs(a["AP50"] - 100 * 35 / 101) < 1e-9
+    assert abs(b["AP50"] - a["AP50"]) < 1e-12, (a["AP50"], b["AP50"])
+
+
+@pytest.mark.skipif(not available(), reason="native lib not built")
+def test_string_image_ids_fall_back_to_numpy():
+    """Filename-stem image ids (the VOC/F1/toolkit convention) can't ride
+    the int64 C ABI — coco_map_native must return None (numpy fallback),
+    not crash mid-eval."""
+    gts = {"img_0001": {"boxes": np.asarray([[0.0, 0.0, 10.0, 10.0]]),
+                        "classes": np.zeros(1, np.int64)}}
+    dets = {"img_0001": {"boxes": np.asarray([[0.0, 0.0, 10.0, 10.0]]),
+                         "scores": np.asarray([0.9]),
+                         "classes": np.zeros(1, np.int64)}}
+    assert coco_map_native(dets, gts, 1) is None
+    assert coco_map(dets, gts, 1)["AP50"] == 100.0
+
+
+@pytest.mark.skipif(not available(), reason="native lib not built")
+def test_mismatched_record_lengths_raise():
+    """A record with 3 classes but 2 box rows previously made the C side
+    read past the end of the box buffer; it must fail loudly like the
+    numpy path."""
+    gts = {1: {"boxes": np.asarray([[0.0, 0.0, 10.0, 10.0]]),
+               "classes": np.zeros(1, np.int64)}}
+    dets = {1: {"boxes": np.zeros((2, 4)),
+                "scores": np.asarray([0.9, 0.8, 0.7]),
+                "classes": np.zeros(3, np.int64)}}
+    with pytest.raises(ValueError):
+        coco_map_native(dets, gts, 1)
