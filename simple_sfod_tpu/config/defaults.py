@@ -236,6 +236,10 @@ def get_cfg() -> CfgNode:
     c.STYLE.STYLE_IMAGE = None
     c.STYLE.VGG_MODEL = None
     c.STYLE.DECODER = None
+    # AdaIN blend: feat = alpha*adain + (1-alpha)*content. The reference
+    # hardcodes its StyleTransfer constructor default (style.py:15) — 0.4,
+    # not full stylization; exposed here as a key so it is tunable.
+    c.STYLE.ALPHA = 0.4
 
     # ---- TPU-native additions ----
     c.TPU = CfgNode()

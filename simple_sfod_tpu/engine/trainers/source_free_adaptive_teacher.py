@@ -168,7 +168,9 @@ class SourceFreeAdaptiveTeacherTrainer(BaseTrainer):
         else:
             print("[style] STYLE.STYLE_IMAGE missing; using a flat gray style")
             style_img = jnp.full((64, 64, 3), 0.6, jnp.float32)
-        st = StyleTransfer.init(self.base_rng, style_img)
+        st = StyleTransfer.init(
+            self.base_rng, style_img, alpha=float(cfg.STYLE.ALPHA)
+        )
         # pretrained AdaIN encoder/decoder (reference STYLE.VGG_MODEL /
         # STYLE.DECODER point at pytorch-AdaIN checkpoints)
         from ...checkpoint.torch_import import (

@@ -98,9 +98,12 @@ class FPN(nn.Module):
             )(m)
             out[f"p{lvl}"] = maybe_norm(o, f"fpn_output{lvl}_norm")
 
-        # LastLevelMaxPool: kernel 1, stride 2 over the coarsest output
+        # LastLevelMaxPool: kernel 1, stride 2 over the coarsest output.
+        # A (1,1)-window max_pool is exactly a strided slice; the slice form
+        # avoids reduce_window's SelectAndScatter backward (the slow op this
+        # backend's CLAUDE.md flags), and its gradient is a cheap pad.
         top = levels[-1]
-        out[f"p{top + 1}"] = nn.max_pool(out[f"p{top}"], (1, 1), strides=(2, 2))
+        out[f"p{top + 1}"] = out[f"p{top}"][:, ::2, ::2, :]
         return out
 
     def fpn_out_channels(self) -> Dict[str, int]:

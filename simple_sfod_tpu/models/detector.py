@@ -168,10 +168,13 @@ class Detector:
         score_thresh: float = None,
         nms_thresh: float = None,
         topk: int = None,
+        apply_nms: bool = True,
+        apply_score_thresh: bool = True,
     ) -> Instances:
         """Head-side inference on a precomputed backbone feature (see
         losses_from_feature for why the split exists). canvas_hw is the
-        padded image canvas the feature was computed from."""
+        padded image canvas the feature was computed from. apply_nms /
+        apply_score_thresh=False select the raw BPC path (infer_raw)."""
         cfg = self.cfg
         anchors = anchors_for(cfg, canvas_hw)
         rpn_out = self._rpn(variables, feature)
@@ -188,6 +191,8 @@ class Detector:
             score_thresh=score_thresh,
             nms_thresh=nms_thresh,
             topk=topk,
+            apply_nms=apply_nms,
+            apply_score_thresh=apply_score_thresh,
         )
 
     def infer(
@@ -227,21 +232,15 @@ class Detector:
     ) -> Instances:
         """No score filter, no NMS — the reference's
         `fast_rcnn_inference_new` (source_free_fast_rcnn.py:121,132-138) that
-        feeds raw (box, score) pairs to the BPC loss."""
-        cfg = self.cfg
-        anchors = anchors_for(cfg, images.shape[1:3])
+        feeds raw (box, score) pairs to the BPC loss. Delegates to the one
+        shared feature->rpn->pool->box chain (infer_from_feature) so the raw
+        path can never silently diverge from standard inference."""
         feature = self._features(variables, images, False, mutable=False)
-        rpn_out = self._rpn(variables, feature)
-        proposals = propose(cfg, anchors, rpn_out, sizes, training=False)
-        pooled = pool_rois(cfg, feature, proposals.boxes)
-        scores, deltas = self._box(variables, pooled)
-        b, r = proposals.boxes.shape[:2]
-        return roi_inference(
-            cfg,
-            scores.reshape(b, r, -1),
-            deltas.reshape(b, r, -1),
-            proposals,
+        return self.infer_from_feature(
+            variables,
+            feature,
             sizes,
+            tuple(images.shape[1:3]),
             topk=topk,
             apply_nms=False,
             apply_score_thresh=False,

@@ -85,7 +85,9 @@ def coral(source: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
     def flat(img):
         x = img.reshape(-1, 3).T  # [3, N]
         mean = jnp.mean(x, axis=1, keepdims=True)
-        std = jnp.std(x, axis=1, keepdims=True) + 1e-8
+        # ddof=1: the reference's torch `.std` is unbiased (style.py:69),
+        # same discipline as adaptive_instance_normalization above
+        std = jnp.std(x, axis=1, keepdims=True, ddof=1) + 1e-8
         norm = (x - mean) / std
         cov = norm @ norm.T + jnp.eye(3)
         return x, mean, std, norm, cov
@@ -103,9 +105,23 @@ def coral(source: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
 
 
 class StyleTransfer:
-    """Bound encoder/decoder + a fixed style image; `stylize` is jittable."""
+    """Bound encoder/decoder + a fixed style image; `stylize` is jittable.
 
-    def __init__(self, encoder_vars, decoder_vars, style_image: jnp.ndarray, alpha: float = 1.0, use_coral: bool = True):
+    alpha defaults to the reference constructor's 0.4 (style.py:15): the
+    stylized features are a 40% blend, not a full replacement
+    (style.py:124 `feat = feat * alpha + content_f * (1 - alpha)`).
+
+    DOCUMENTED DEVIATION — value range: the reference feeds raw 0..255
+    stored-channel tensors into the pretrained AdaIN encoder and pushes the
+    decoder's ~0..1-range output straight back into the 0..255 detector
+    pipeline (sfat.py:350, style.py:123-124 — no scaling anywhere). The
+    published pytorch-AdaIN weights' contract is ToTensor [0,1] input, so
+    the reference's usage overdrives the encoder 255x and then darkens the
+    student view ~255x. This implementation normalizes to [0,1] for the
+    enc/dec and rescales the output to 0..255, preserving the AdaIN
+    semantics the pretrained weights were trained for."""
+
+    def __init__(self, encoder_vars, decoder_vars, style_image: jnp.ndarray, alpha: float = 0.4, use_coral: bool = True):
         self.encoder = StyleEncoder()
         self.decoder = StyleDecoder()
         self.encoder_vars = encoder_vars
@@ -115,14 +131,14 @@ class StyleTransfer:
         self.use_coral = use_coral
 
     @staticmethod
-    def init(rng, style_image):
+    def init(rng, style_image, alpha: float = 0.4, use_coral: bool = True):
         enc = StyleEncoder()
         dec = StyleDecoder()
         dummy = jnp.zeros((1, 64, 64, 3))
         ev = enc.init(rng, dummy)
         feat = enc.apply(ev, dummy)
         dv = dec.init(rng, feat)
-        return StyleTransfer(ev, dv, style_image)
+        return StyleTransfer(ev, dv, style_image, alpha=alpha, use_coral=use_coral)
 
     def stylize(self, content: jnp.ndarray) -> jnp.ndarray:
         """content: [B, H, W, 3] 0..255 -> stylised same shape/range."""

@@ -26,9 +26,10 @@ def mc_dropout_box_outputs(
     sizes: jnp.ndarray,
     rng: jax.Array,
     num_samples: int = 10,
-) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Returns (mean_scores [B, R, C+1] softmax, score_std [B, R, C+1],
-    proposal boxes [B, R, 4]). Requires cfg.box_head_dropout > 0."""
+    proposal boxes [B, R, 4], valid [B, R]). Requires
+    cfg.box_head_dropout > 0."""
     cfg = detector.cfg
     anchors = anchors_for(cfg, images.shape[1:3])
     feature = detector._features(variables, images, False)

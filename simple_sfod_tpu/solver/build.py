@@ -180,18 +180,38 @@ def backbone_freeze_mask(params, freeze_at: int):
     stage s>=2 is res{s}; everything with stage <= freeze_at is frozen —
     no gradient, no weight decay. The reference's VGG backbone never calls
     freeze, and VGG param names don't match the stem/res patterns, so VGG
-    configs are unaffected — same as the reference."""
+    configs are unaffected — same as the reference.
+
+    FrozenBN affine leaves are frozen at EVERY stage regardless of
+    freeze_at: d2's FrozenBatchNorm2d keeps weight/bias as buffers
+    (requires_grad never set), so with the r101 default NORM='FrozenBN'
+    they must not receive SGD steps in res3..res5 either. FrozenBN
+    registers scale/bias DIRECTLY under the norm-named module
+    (backbones/resnet.py _Norm); a trainable nn.BatchNorm nests its affine
+    one level deeper (BatchNorm_0, which the case-sensitive pattern does
+    not match), so the direct-child test selects exactly the frozen kind,
+    and the resnet-scope guard keeps VGG-BN names out."""
     pat = re.compile(r"^res(\d)_block")
 
     def frozen(path) -> bool:
-        for p in path:
-            name = str(getattr(p, "key", p))
-            if name.startswith("stem") and freeze_at >= 1:
-                return True
+        names = [str(getattr(p, "key", p)) for p in path]
+        in_resnet = False
+        for name in names:
+            if name.startswith("stem"):
+                in_resnet = True
+                if freeze_at >= 1:
+                    return True
             m = pat.match(name)
-            if m and int(m.group(1)) <= freeze_at:
-                return True
-        return False
+            if m:
+                in_resnet = True
+                if int(m.group(1)) <= freeze_at:
+                    return True
+        return (
+            in_resnet
+            and len(names) >= 2
+            and _NORM_NAME.search(names[-2]) is not None
+            and names[-1] in ("scale", "bias")
+        )
 
     return jax.tree_util.tree_map_with_path(lambda path, _: frozen(path), params)
 
@@ -206,9 +226,10 @@ def stop_frozen_gradients(params, freeze_at: int):
     tree at the top of every loss closure; the name-based mask is decided
     at trace time, so VGG configs (no stem/res leaves) get the identity
     and an unchanged graph. Updates are bit-identical either way (frozen
-    grads were already discarded); only the gradient COMPUTATION changes."""
-    if freeze_at <= 0:
-        return params
+    grads were already discarded); only the gradient COMPUTATION changes.
+
+    Runs even at freeze_at=0: FrozenBN affine leaves freeze
+    unconditionally (see backbone_freeze_mask)."""
     mask = backbone_freeze_mask(params, freeze_at)
     if not any(jax.tree.leaves(mask)):
         return params
@@ -233,10 +254,11 @@ def with_frozen(base, freeze_at: int):
     trainable leaves (its momentum state exists only for them), and frozen
     leaves' updates are set to zero. FusedSGD path: grads are zeroed going
     in, params restored coming out, and the flat momentum buffer is masked
-    to zero on the frozen segments so weight decay cannot pollute it."""
-    if freeze_at <= 0:
-        return base
+    to zero on the frozen segments so weight decay cannot pollute it.
 
+    Wraps even at freeze_at=0 — FrozenBN affine leaves freeze
+    unconditionally (backbone_freeze_mask); the _nothing_frozen
+    fallthrough keeps no-match models (VGG) bit- and pytree-identical."""
     if isinstance(base, FusedSGD):
         def _mu_mask(params):
             per_leaf = backbone_freeze_mask(params, freeze_at)

@@ -308,3 +308,91 @@ class TestWeightDecayNorm:
         bb = new_params["backbone"]
         assert float(jnp.abs(bb["bn0"]["scale"] - 1.0).max()) > 0
         np.testing.assert_array_equal(bb["conv0"]["kernel"], params["backbone"]["conv0"]["kernel"])
+
+
+class TestFrozenBNAffine:
+    """d2's FrozenBatchNorm2d keeps weight/bias as non-trainable buffers in
+    EVERY stage — with the r101 default NORM='FrozenBN', res3..res5 norm
+    affine must not receive SGD steps even though FREEZE_AT=2 only freezes
+    stem+res2 (reference: d2 layers/batch_norm.py FrozenBatchNorm2d)."""
+
+    def _params(self):
+        mk = lambda: {"kernel": jnp.ones((2, 2))}
+        fbn = lambda: {"scale": jnp.ones((2,)), "bias": jnp.zeros((2,))}
+        bn = lambda: {"BatchNorm_0": {"scale": jnp.ones((2,)), "bias": jnp.zeros((2,))}}
+        return {
+            "det": {
+                "backbone": {
+                    "stem_conv": mk(),
+                    "stem_norm": fbn(),
+                    "res4_block0": {"conv1": mk(), "norm1": fbn()},
+                    "res5_block2": {"conv2": mk(), "shortcut_norm": fbn()},
+                },
+                # VGG-style trainable BN nests affine under BatchNorm_0 and
+                # lives outside any res/stem scope: never caught
+                "vgg_backbone": {"bn3": bn()},
+                "rpn_head": {"conv": mk()},
+            }
+        }
+
+    def test_mask_catches_frozen_bn_at_every_stage(self):
+        from simple_sfod_tpu.solver.build import backbone_freeze_mask
+
+        m = backbone_freeze_mask(self._params(), 2)
+        bb = m["det"]["backbone"]
+        assert bb["stem_norm"]["scale"] and bb["stem_norm"]["bias"]
+        # stages ABOVE freeze_at: conv trains, FrozenBN affine does not
+        assert not bb["res4_block0"]["conv1"]["kernel"]
+        assert bb["res4_block0"]["norm1"]["scale"]
+        assert bb["res5_block2"]["shortcut_norm"]["bias"]
+        assert not bb["res5_block2"]["conv2"]["kernel"]
+        # trainable-BN nesting and non-resnet scopes stay trainable
+        assert not m["det"]["vgg_backbone"]["bn3"]["BatchNorm_0"]["scale"]
+        assert not m["det"]["rpn_head"]["conv"]["kernel"]
+
+    def test_frozen_bn_frozen_even_at_freeze_at_zero(self):
+        from simple_sfod_tpu.solver.build import with_frozen
+
+        opt = with_frozen(
+            optax.chain(optax.add_decayed_weights(1e-4),
+                        optax.sgd(lambda c: 1e-2, momentum=0.9)),
+            0,
+        )
+        params = self._params()
+        state = opt.init(params)
+        grads = jax.tree.map(jnp.ones_like, params)
+        new_params, _ = apply_gradients(opt, grads, state, params)
+        bb_old = params["det"]["backbone"]
+        bb_new = new_params["det"]["backbone"]
+        assert float(jnp.abs(bb_new["res4_block0"]["norm1"]["scale"]
+                             - bb_old["res4_block0"]["norm1"]["scale"]).max()) == 0.0
+        # freeze_at=0: stem CONV trains, only the FrozenBN affine is pinned
+        assert float(jnp.abs(bb_new["stem_conv"]["kernel"]
+                             - bb_old["stem_conv"]["kernel"]).max()) > 0.0
+        assert float(jnp.abs(bb_new["stem_norm"]["bias"]
+                             - bb_old["stem_norm"]["bias"]).max()) == 0.0
+
+    def test_real_resnet_param_paths_match_the_mask(self):
+        """The name patterns must hold for the ACTUAL ResNet module tree:
+        every FrozenBN scale/bias leaf frozen, every conv kernel in stages
+        above FREEZE_AT trainable."""
+        import jax as _jax
+        from simple_sfod_tpu.models.backbones.resnet import ResNetBackbone
+        from simple_sfod_tpu.solver.build import backbone_freeze_mask
+
+        bb = ResNetBackbone(depth=50, norm="FrozenBN")
+        variables = bb.init(_jax.random.key(0), jnp.zeros((1, 64, 64, 3)), False)
+        mask = backbone_freeze_mask(variables["params"], 2)
+        flat = _jax.tree_util.tree_flatten_with_path(mask)[0]
+        frozen_bn, trainable_conv = 0, 0
+        for path, val in flat:
+            names = [str(getattr(p, "key", p)) for p in path]
+            if names[-1] in ("scale", "bias") and "norm" in names[-2]:
+                assert val, names
+                frozen_bn += 1
+            if names[-1] == "kernel" and any(
+                n.startswith(("res3", "res4", "res5")) for n in names
+            ):
+                assert not val, names
+                trainable_conv += 1
+        assert frozen_bn > 20 and trainable_conv > 20

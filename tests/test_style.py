@@ -166,9 +166,18 @@ class TestAdainTorchDifferential:
 
         st = StyleTransfer(
             {"params": enc_params}, {"params": dec_params},
-            jnp.asarray(style_img), use_coral=False,
+            jnp.asarray(style_img), alpha=1.0, use_coral=False,
         )
         out_j = np.asarray(jax.jit(st.stylize)(jnp.asarray(content)))
+
+        # the production default is the reference ctor's alpha=0.4 blend
+        # (style.py:15,124): check it against the same torch transcription
+        st04 = StyleTransfer(
+            {"params": enc_params}, {"params": dec_params},
+            jnp.asarray(style_img), use_coral=False,
+        )
+        assert st04.alpha == 0.4
+        out_j04 = np.asarray(jax.jit(st04.stylize)(jnp.asarray(content)))
 
         # torch transcription of StyleTransfer.style_transfer (style.py:100-137
         # with alpha=1): encode both, AdaIN (unbiased var, :57), decode
@@ -183,10 +192,14 @@ class TestAdainTorchDifferential:
             cs = (f_c.reshape(n, c, -1).var(2) + 1e-5).sqrt().view(n, c, 1, 1)
             sm = f_s.reshape(n, c, -1).mean(2).view(n, c, 1, 1)
             ss = (f_s.reshape(n, c, -1).var(2) + 1e-5).sqrt().view(n, c, 1, 1)
-            out_t = dec((f_c - cm) / cs * ss + sm)
+            adain = (f_c - cm) / cs * ss + sm
+            out_t = dec(adain)
+            out_t04 = dec(0.4 * adain + 0.6 * f_c)
         out_t = np.clip(out_t.numpy().transpose(0, 2, 3, 1), 0.0, 1.0) * 255.0
+        out_t04 = np.clip(out_t04.numpy().transpose(0, 2, 3, 1), 0.0, 1.0) * 255.0
 
         np.testing.assert_allclose(out_j, out_t, rtol=1e-4, atol=5e-3)
+        np.testing.assert_allclose(out_j04, out_t04, rtol=1e-4, atol=5e-3)
 
     def test_encoder_matches_torch(self):
         import torch
