@@ -50,6 +50,7 @@ def inference_on_dataset(
     category_ids: Optional[dict] = None,
     pipeline_depth: int = 4,
     mesh=None,
+    spatial: bool = False,
 ) -> Dict:
     """Run inference over a test loader; boxes are mapped back to original
     file coordinates (divide by the resize scale) before evaluation.
@@ -138,7 +139,10 @@ def inference_on_dataset(
         if pad:
             img = np.concatenate([img, np.repeat(img[-1:], pad, axis=0)])
             sz = np.concatenate([sz, np.repeat(sz[-1:], pad, axis=0)])
-        img, sz = shard_batch(mesh, (img, sz))
+        # spatial must mirror the trainer's TPU.SPATIAL_SHARD (callers pass
+        # it through) — dropping it here would silently eval un-spatially-
+        # sharded on large canvases, the hazard BaseTrainer._shard guards
+        img, sz = shard_batch(mesh, (img, sz), spatial=spatial)
         return jit_infer(variables, img, sz)
 
     seen = set()

@@ -25,5 +25,8 @@ def _import_all():
         try:
             importlib.import_module(f"{__name__}.{mod}")
         except ModuleNotFoundError as e:
-            if mod not in str(e):
+            # only tolerate the trainer module itself being absent; a missing
+            # DEPENDENCY (e.g. models.dann from da.py) must propagate, not
+            # silently unregister the trainer
+            if e.name != f"{__name__}.{mod}":
                 raise

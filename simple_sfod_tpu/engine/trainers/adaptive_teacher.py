@@ -2,10 +2,13 @@
 
 Re-design of /root/reference/daod/engine/trainers/adaptive_teacher.py:
 burn-in on labeled source for BURN_UP_STEP iters (:202-213), then copy
-student -> teacher (:215-217) and alternate joint training: supervised source
-losses + pseudo-labeled target losses + image-level domain-discriminator
-losses with gradient reversal (:316-327), EMA teacher every
-TEACHER_UPDATE_ITER (:219-223).
+student -> teacher at the START of the boundary step (:215-217) and
+alternate joint training: supervised source losses over BOTH source views
+(strong label_data_q + weak label_data_k concatenated, :203,:290) +
+pseudo-labeled target losses (pseudo rpn_loc/box_reg weighted 0, :318-321)
++ image-level domain-discriminator losses with gradient reversal on the
+weak source view (:305-314), EMA teacher every TEACHER_UPDATE_ITER on the
+(iter - burn_up) phase (:218-223).
 
 The burn-in/joint phase switch is data-independent (a step comparison), so
 both phases live in ONE jitted step via lax.cond-style masking of the loss
@@ -114,10 +117,27 @@ class AdaptiveTeacherTrainer(SourceFreeAdaptiveTeacherTrainer):
             src_images = src_images.astype(jnp.float32)
             tgt_images = tgt_images.astype(jnp.float32)
             rng = jax.random.fold_in(rng, state.step)
-            k_flip_s, k_flip_t, k_strong, k_sup, k_unsup, k_dc = jax.random.split(rng, 6)
+            k_flip_s, k_flip_t, k_strong, k_sup, k_unsup, k_dc, k_strong_s = (
+                jax.random.split(rng, 7)
+            )
             in_burn_up = state.step < burn_up
 
             src_images, src_gt = apply_weak_aug(k_flip_s, src_images, src_sizes, src_gt, flip)
+            # the reference trains supervised on BOTH source views — strong
+            # (label_data_q) + weak (label_data_k), concatenated to a 2x
+            # batch in burn-in AND joint phase (adaptive_teacher.py:203,290);
+            # strong aug is photometric-only so the GT duplicates unchanged.
+            # Order q-then-k, so the weak half (the DC branch's input,
+            # reference step 6) is sup_*[B:].
+            b_src = src_images.shape[0]
+            src_strong = jax.vmap(T.strong_augment)(
+                jax.random.split(k_strong_s, b_src), src_images, src_sizes
+            )
+            sup_images = jnp.concatenate([src_strong, src_images], axis=0)
+            sup_sizes = jnp.concatenate([src_sizes, src_sizes], axis=0)
+            sup_gt = jax.tree.map(
+                lambda x: jnp.concatenate([x, x], axis=0), src_gt
+            )
             dummy = Instances.empty(1)
             dummy = jax.tree.map(
                 lambda x: jnp.broadcast_to(x[None], (tgt_images.shape[0],) + x.shape), dummy
@@ -126,13 +146,29 @@ class AdaptiveTeacherTrainer(SourceFreeAdaptiveTeacherTrainer):
             rngs = jax.random.split(k_strong, tgt_images.shape[0])
             tgt_strong = jax.vmap(T.strong_augment)(rngs, tgt_weak, tgt_sizes)
 
+            # teacher: the reference hard-copies student->teacher at the
+            # START of iter == BURN_UP_STEP, BEFORE the pseudo forward
+            # (adaptive_teacher.py:215-217) — the first joint step's
+            # pseudo-labels must come from the burn-in-trained student, not
+            # the step-0 teacher.
+            at_boundary = state.step == burn_up
+            teacher_params_now = jax.tree.map(
+                lambda t, s: jnp.where(at_boundary, s.astype(t.dtype), t),
+                state.teacher_params,
+                state.params["det"],
+            )
+            teacher_stats_now = jax.tree.map(
+                lambda t, s: jnp.where(at_boundary, s.astype(t.dtype), t),
+                state.teacher_stats,
+                state.batch_stats,
+            )
             # teacher pseudo-labels on weak target. Like SFAT, the reference
             # teacher is never .eval()'d (adaptive_teacher.py:237-242): the
             # pseudo forward runs TRAIN-mode BN and nudges the teacher's
             # running stats (torch train-mode side effect, momentum 0.1);
             # during burn-in the nudges are irrelevant — the boundary hard
-            # copy (rate 0) replaces the whole teacher tree.
-            tvars = state.teacher_variables()
+            # copy replaces the whole teacher tree.
+            tvars = {"params": teacher_params_now, "batch_stats": teacher_stats_now}
             feat_teach, mut_t = det._features(tvars, tgt_weak, True, mutable=True)
             teacher_stats_fwd = mut_t.get("batch_stats", {})
             dets = det.infer_from_feature(
@@ -153,17 +189,26 @@ class AdaptiveTeacherTrainer(SourceFreeAdaptiveTeacherTrainer):
                 # ONE backbone pass per view; the DC heads reuse these
                 # features instead of running their own passes (same
                 # restructure as the SFAT step, BENCH_NOTES round-2 leads)
-                feat_src, mutated = det._features(variables, src_images, True, mutable=True)
+                feat_sup, mutated = det._features(variables, sup_images, True, mutable=True)
                 new_stats = mutated.get("batch_stats", {})
                 sup_total, sup_metrics = det.losses_from_feature(
-                    variables, feat_src, DetectionBatch(src_images, src_sizes, src_gt), k_sup
+                    variables, feat_sup, DetectionBatch(sup_images, sup_sizes, sup_gt), k_sup
                 )
+                # the DC branch consumes the WEAK source view only
+                # (reference step 6, label_data_k) — the k half of the
+                # q-then-k concat
+                feat_src = jax.tree.map(lambda f: f[b_src:], feat_sup)
                 feat_tgt_s, _ = det._features(variables, tgt_strong, True, mutable=True)
+                # pseudo bbox regression <- 0 (reference adaptive_teacher.py
+                # :318-321 — ACTIVE here, unlike SFAT where the *0 is
+                # commented out): localization must not train on noisy
+                # teacher boxes; the losses stay logged
                 unsup_total, unsup_metrics = det.losses_from_feature(
                     variables,
                     feat_tgt_s,
                     DetectionBatch(tgt_strong, tgt_sizes, pseudo_gt),
                     k_unsup,
+                    loss_weights={"loss_rpn_loc": 0.0, "loss_box_reg": 0.0},
                 )
                 metrics = dict(sup_metrics)
                 metrics.update({f"{k}_pseudo": v for k, v in unsup_metrics.items()})
@@ -230,11 +275,15 @@ class AdaptiveTeacherTrainer(SourceFreeAdaptiveTeacherTrainer):
                 optimizer, grads, state.opt_state, state.params
             )
 
-            # teacher: hard copy at the burn-up boundary, EMA afterwards
-            at_boundary = state.step == burn_up
-            do_ema = (~in_burn_up) & ((state.step % update_iter) == 0)
-            rate = jnp.where(at_boundary, 0.0, jnp.where(do_ema, keep_rate, 1.0))
-            new_teacher_params = ema_update(state.teacher_params, new_params["det"], rate)
+            # teacher: the boundary hard copy already happened at the START
+            # of this step; EMA fires on the reference's phase,
+            # (iter - burn_up) % TEACHER_UPDATE_ITER == 0 for iter > burn_up
+            # (adaptive_teacher.py:218-222)
+            do_ema = (state.step > burn_up) & (
+                ((state.step - burn_up) % update_iter) == 0
+            )
+            rate = jnp.where(do_ema, keep_rate, 1.0)
+            new_teacher_params = ema_update(teacher_params_now, new_params["det"], rate)
             new_teacher_stats = ema_update(teacher_stats_fwd, new_stats, rate)
 
             metrics["total_loss"] = total

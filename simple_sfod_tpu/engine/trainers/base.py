@@ -166,6 +166,18 @@ class BaseTrainer:
         from ...solver.build import auto_scale_workers
 
         cfg = auto_scale_workers(cfg, mesh_n)
+        if cfg.TPU.MESH_DATA <= 0:
+            # the scaling may have SHRUNK the batch below the auto-derived
+            # width (gcd was taken on the pre-scale value); re-derive so the
+            # data axis still divides every sharded batch
+            import math
+
+            new_n = mesh_n
+            for key in self._SHARD_BATCH_KEYS:
+                new_n = math.gcd(new_n, max(getattr(cfg.SOLVER, key), 1))
+            if new_n != mesh_n:
+                mesh_n = new_n
+                self.mesh = make_mesh(mesh_n, mesh_m)
         self.cfg = cfg
         self.output_dir = cfg.OUTPUT_DIR
         os.makedirs(self.output_dir, exist_ok=True)
@@ -457,40 +469,65 @@ class BaseTrainer:
                 return
         if feeder is not None:
             feeder.stop()
+        # d2's EvalHook.after_train always evaluates at max_iter; without
+        # this, EVAL_PERIOD=5000 with MAX_ITER=4000 would end training with
+        # no eval at all. DELIBERATE DEVIATION: d2 runs the final eval even
+        # at period=0, but every perf/smoke flow here (bench configs,
+        # hardware CLI smokes) relies on EVAL_PERIOD=0 meaning "no eval",
+        # so 0 keeps that contract.
+        ep = self.cfg.TEST.EVAL_PERIOD
+        if ep > 0 and self.max_iter % ep != 0 and self.cfg.DATASETS.TEST:
+            self.test()
         self.checkpointer.save("model_final", self.state)
 
     # -- evaluation ----------------------------------------------------------
-    def test(self, dataset_names=None) -> Dict:
-        if self.cfg.TEST.PRECISE_BN.ENABLED:
-            from ..hooks import precise_bn
+    def _maybe_precise_bn(self):
+        """TEST.PRECISE_BN: recompute BN statistics from the train loader
+        before eval (d2's PreciseBN hook, registered for EVERY reference
+        trainer through DefaultTrainer.build_hooks — subclass test()
+        overrides must call this too, or the key is silently inert)."""
+        if not self.cfg.TEST.PRECISE_BN.ENABLED:
+            return
+        from ..hooks import precise_bn
 
-            loader = self.build_train_loader()
-            stats = precise_bn(
-                self.detector,
-                self._hook_variables(),
-                iter(loader),
-                self.cfg.TEST.PRECISE_BN.NUM_ITER,
-            )
-            self.state = self.state.replace(batch_stats=stats)
+        loader = self.build_train_loader()
+        stats = precise_bn(
+            self.detector,
+            self._hook_variables(),
+            iter(loader),
+            self.cfg.TEST.PRECISE_BN.NUM_ITER,
+        )
+        self.state = self.state.replace(batch_stats=stats)
+
+    def test(self, dataset_names=None) -> Dict:
+        self._maybe_precise_bn()
         from ...evaluation.build import build_evaluators
 
         results = {}
-        for name in dataset_names or self.cfg.DATASETS.TEST:
+        names = list(dataset_names or self.cfg.DATASETS.TEST)
+        for name in names:
             ds = get_dataset(name)
             loader = build_test_loader(self.cfg, name, synthetic=self.synthetic)
             evaluators = build_evaluators(self.cfg, name, ds["thing_classes"])
             id_map = ds.get("id_map") or {}
+            # multi-dataset eval: per-dataset subdirs (d2 convention), else
+            # the flat path the fixed-pseudo-label workflow consumes —
+            # otherwise dataset N overwrites dataset N-1's detections
+            inf_dir = (
+                os.path.join(self.output_dir, "inference")
+                if len(names) == 1
+                else os.path.join(self.output_dir, "inference", name)
+            )
             res = inference_on_dataset(
                 self.detector,
                 self._hook_variables(),
                 loader,
                 ds["thing_classes"],
                 evaluators,
-                dump_json=os.path.join(
-                    self.output_dir, "inference", "coco_instances_results.json"
-                ),
+                dump_json=os.path.join(inf_dir, "coco_instances_results.json"),
                 category_ids={v: k for k, v in id_map.items()},
                 pipeline_depth=self.cfg.TPU.EVAL_PIPELINE_DEPTH,
+                spatial=self.cfg.TPU.SPATIAL_SHARD,
                 mesh=self.mesh,
             )
             results[name] = res

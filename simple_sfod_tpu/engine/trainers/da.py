@@ -247,8 +247,23 @@ class _DATrainerBase(BaseTrainer):
             src_images = src_images.astype(jnp.float32)
             tgt_images = tgt_images.astype(jnp.float32)
             rng = jax.random.fold_in(rng, state.step)
-            k_flip, k_sup, k_dc_s, k_dc_t = jax.random.split(rng, 4)
+            k_flip, k_sup, k_dc_s, k_dc_t, k_flip_t = jax.random.split(rng, 5)
             src_images, src_gt = apply_weak_aug(k_flip, src_images, src_sizes, src_gt, flip)
+            # the reference maps the TARGET set through the same training
+            # mapper (build.py:384-386), so target views flip too — without
+            # this the discriminators train on an augmentation-asymmetric
+            # domain pair
+            if flip:
+                b = tgt_images.shape[0]
+                dummy_gt = Instances(
+                    boxes=jnp.zeros((b, 1, 4), jnp.float32),
+                    scores=jnp.zeros((b, 1), jnp.float32),
+                    classes=jnp.zeros((b, 1), jnp.int32),
+                    valid=jnp.zeros((b, 1), bool),
+                )
+                tgt_images, _ = apply_weak_aug(
+                    k_flip_t, tgt_images, tgt_sizes, dummy_gt, True
+                )
 
             def loss_fn(params):
                 params = stop_frozen_gradients(params, freeze_at)
@@ -320,6 +335,7 @@ class _DATrainerBase(BaseTrainer):
 
     def test(self, dataset_names=None):
         # student-only eval; the DA state keys params under "det"
+        self._maybe_precise_bn()  # TEST.PRECISE_BN must not be silently inert
         from ...data.datasets import get_dataset
         from ...data.loader import build_test_loader
         from ...evaluation.build import build_evaluators
@@ -334,6 +350,7 @@ class _DATrainerBase(BaseTrainer):
                 self.detector, variables, loader, ds["thing_classes"],
                 build_evaluators(self.cfg, name, ds["thing_classes"]),
                 pipeline_depth=self.cfg.TPU.EVAL_PIPELINE_DEPTH,
+                spatial=self.cfg.TPU.SPATIAL_SHARD,
                 mesh=self.mesh,
             )
             results[name] = res

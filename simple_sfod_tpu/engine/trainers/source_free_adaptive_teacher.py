@@ -596,6 +596,9 @@ class SourceFreeAdaptiveTeacherTrainer(BaseTrainer):
 
     # -- evaluation: test BOTH student and teacher (sfat.py:647-675) ----------
     def test(self, dataset_names=None) -> Dict:
+        # d2's PreciseBN hook recomputes the STUDENT's stats (the reference
+        # registers it on self.model); the teacher keeps its own stats
+        self._maybe_precise_bn()
         results = {}
         for tag, variables in (
             ("student", {"params": self.state.params["det"], "batch_stats": self.state.batch_stats}),
@@ -616,6 +619,7 @@ class SourceFreeAdaptiveTeacherTrainer(BaseTrainer):
                     ds["thing_classes"],
                     build_evaluators(self.cfg, name, ds["thing_classes"]),
                     pipeline_depth=self.cfg.TPU.EVAL_PIPELINE_DEPTH,
+                spatial=self.cfg.TPU.SPATIAL_SHARD,
                     mesh=self.mesh,
                 )
                 results[f"{name}/{tag}"] = res

@@ -287,14 +287,25 @@ class TestAdaptiveTeacherStep:
             lambda a, b: float(jnp.abs(a - b).max()), t0, jax.device_get(tr.state.teacher_params)
         )
         assert max(jax.tree.leaves(same)) == 0
-        # step 1 == BURN_UP_STEP: teacher hard-copies the (updated) student
+        # step 1 == BURN_UP_STEP: the reference hard-copies at the START of
+        # the boundary step (adaptive_teacher.py:215-217), BEFORE this
+        # step's gradient update — the teacher must equal the
+        # end-of-burn-in student (captured here), NOT the post-step student
+        s_burn_in = jax.device_get(tr.state.params["det"])
         tr.run_step(batch)
         diff = jax.tree.map(
             lambda a, b: float(jnp.abs(a - b).max()),
             jax.device_get(tr.state.teacher_params),
-            jax.device_get(tr.state.params["det"]),
+            s_burn_in,
         )
         assert max(jax.tree.leaves(diff)) == 0
+        # and the student has moved past the copied snapshot
+        moved = jax.tree.map(
+            lambda a, b: float(jnp.abs(a - b).max()),
+            jax.device_get(tr.state.params["det"]),
+            s_burn_in,
+        )
+        assert max(jax.tree.leaves(moved)) > 0
 
 
     def test_run_steps_scan(self):
