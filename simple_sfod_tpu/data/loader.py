@@ -27,9 +27,12 @@ from .datasets import get_dataset
 
 
 class ArrayBatch(dict):
-    """Plain dict batch: images [B,H,W,3] f32, sizes [B,2] i32, scale [B,2] f32 (sx,sy),
-    gt_boxes [B,N,4] f32, gt_classes [B,N] i32, gt_valid [B,N] bool,
-    image_ids [B] i64 (host-side metadata, not shipped to device)."""
+    """Plain dict batch: images [B,H,W,3] uint8 (4x less host->device
+    traffic; trainers/eval cast to f32 ON DEVICE — feeding these to
+    anything that subtracts a mean in the input dtype wraps around),
+    sizes [B,2] i32, scale [B,2] f32 (sx,sy), gt_boxes [B,N,4] f32,
+    gt_classes [B,N] i32, gt_valid [B,N] bool, image_ids [B] i64
+    (host-side metadata, not shipped to device)."""
 
 
 def _load_image(path: str, fmt: str = "BGR") -> np.ndarray:
@@ -120,6 +123,13 @@ class DetectionLoader:
                 hs = np.asarray([r["height"] for r in records])
                 ws = np.asarray([r["width"] for r in records])
             except KeyError:
+                import warnings
+
+                warnings.warn(
+                    "records lack height/width; the MIN_SIZE_TRAIN "
+                    "canvas-overflow check is SKIPPED — oversized samples "
+                    "will only surface at the runtime crop"
+                )
                 hs = ws = None
             if hs is not None:
                 for ms in self.min_sizes:
@@ -294,10 +304,17 @@ class DetectionLoader:
         q: queue_mod.Queue = queue_mod.Queue(maxsize=self.prefetch)
         stop = object()
         abandoned = threading.Event()
+        err: list = []
 
         def worker():
             try:
                 for idx in stream:
+                    if abandoned.is_set():
+                        # don't build (or draw RNG for) a batch nobody will
+                        # consume: a stale worker racing a fresh iteration of
+                        # the same loader would interleave RandomState draws
+                        # across threads and break seed-determinism
+                        return
                     batch = self._make_batch([self.records[i] for i in idx])
                     while not abandoned.is_set():
                         try:
@@ -307,8 +324,20 @@ class DetectionLoader:
                             continue
                     if abandoned.is_set():
                         return
+            except BaseException as e:
+                # surface in the consumer — a swallowed decode error would
+                # end iteration cleanly and silently truncate an eval pass
+                err.append(e)
             finally:
-                q.put(stop)
+                # non-blocking with retry: an unbounded put could pin this
+                # thread forever if the consumer abandons and the queue
+                # refills in the drain race
+                while not abandoned.is_set():
+                    try:
+                        q.put_nowait(stop)
+                        break
+                    except queue_mod.Full:
+                        abandoned.wait(0.1)
 
         t = threading.Thread(target=worker, daemon=True)
         t.start()
@@ -316,6 +345,8 @@ class DetectionLoader:
             while True:
                 item = q.get()
                 if item is stop:
+                    if err:
+                        raise err[0]
                     return
                 yield item
         finally:

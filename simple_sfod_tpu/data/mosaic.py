@@ -50,10 +50,11 @@ def _mosaic_one(
     images4: jnp.ndarray,  # [4, H, W, 3] sources (TL, TR, BL, BR)
     boxes4: jnp.ndarray,  # [4, N, 4]
     classes4: jnp.ndarray,  # [4, N]
+    scores4: jnp.ndarray,  # [4, N] (pseudo-label weights ride along)
     valid4: jnp.ndarray,  # [4, N]
     sizes4: jnp.ndarray,  # [4, 2] (content h, content w) per source
     pad_val: float = 114.0,
-) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     h, w = images4.shape[1], images4.shape[2]
     sh, sw = sizes4[:, 0], sizes4[:, 1]
     k1, k2 = jax.random.split(rng)
@@ -111,6 +112,7 @@ def _mosaic_one(
         out,
         nb.reshape(-1, 4),
         classes4.reshape(-1),
+        scores4.reshape(-1),
         nvalid.reshape(-1),
     )
 
@@ -132,14 +134,18 @@ def mosaic_batch(rng: jax.Array, images, gt: Instances, sizes=None, pad_val: flo
     images4 = gather4(images)  # [B, 4, H, W, 3]
     boxes4 = gather4(gt.boxes)
     classes4 = gather4(gt.classes)
+    # scores (pseudo-label weights) follow the same tile gather as
+    # boxes/classes — mixup_batch concatenates them too, and dropping them
+    # here would silently train score-weighted pseudo labels uniformly
+    scores4 = gather4(gt.scores)
     valid4 = gather4(gt.valid)
     sizes4 = gather4(jnp.asarray(sizes, jnp.int32))
     rngs = jax.random.split(rng, b)
-    out, boxes, classes, valid = jax.vmap(
-        lambda r, i4, b4, c4, v4, s4: _mosaic_one(r, i4, b4, c4, v4, s4, pad_val)
-    )(rngs, images4, boxes4, classes4, valid4, sizes4)
+    out, boxes, classes, scores, valid = jax.vmap(
+        lambda r, i4, b4, c4, sc4, v4, s4: _mosaic_one(r, i4, b4, c4, sc4, v4, s4, pad_val)
+    )(rngs, images4, boxes4, classes4, scores4, valid4, sizes4)
     return out, Instances(
-        boxes=boxes, scores=jnp.ones_like(classes, jnp.float32), classes=classes, valid=valid
+        boxes=boxes, scores=scores, classes=classes, valid=valid
     )
 
 

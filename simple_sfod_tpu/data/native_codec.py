@@ -49,14 +49,25 @@ def _load() -> Optional[ctypes.CDLL]:
             not os.path.exists(so) or os.path.getmtime(src) > os.path.getmtime(so)
         )
         if stale:
+            # build to a per-pid temp name and atomically rename: a
+            # concurrent process (multihost runs) must never dlopen a
+            # half-written .so — a truncated-yet-loadable mapping can
+            # SIGSEGV on the first decode instead of falling back to PIL
+            tmp = f"{so}.build.{os.getpid()}"
             try:
                 subprocess.run(
-                    ["make", "-C", NATIVE_DIR, "-B", "libimgcodec.so"],
+                    ["make", "-C", NATIVE_DIR, "-B", "imgcodec_out",
+                     f"IMG_OUT={os.path.basename(tmp)}"],
                     check=True,
                     capture_output=True,
                     timeout=120,
                 )
+                os.replace(tmp, so)
             except Exception:
+                try:
+                    os.remove(tmp)
+                except OSError:
+                    pass
                 if not os.path.exists(so):
                     return None  # no binary at all; else: use committed .so
         try:

@@ -34,6 +34,13 @@ def resize_to_canvas(
     New dims follow detectron2's ResizeShortestEdge.get_output_shape exactly
     (shorter edge pinned to min_size, longer capped at max_size, int(x+0.5)
     rounding); the resized image is placed top-left on a zero canvas.
+
+    TEST-ONLY utility: production resizing happens on the host
+    (data/loader.py), whose canvas-overflow path CROPS with a GT clip. The
+    per-axis min() clamp here distorts aspect ratio when only one axis
+    overflows, and the returned scale is the pre-clamp factor — do not wire
+    this into a data path without replacing the clamp with the loader's
+    crop semantics.
     """
     from .loader import d2_output_shape
 

@@ -43,8 +43,24 @@ def build_evaluators(cfg, dataset_name: str, thing_classes):
         )
         evaluators.append(F1Evaluator(mode=f1_mode))
         return evaluators
+    # a remap registered with the dataset wins; the heuristic below covers
+    # the shipped car-only Sim10k/KITTI names (previously the registry field
+    # was write-only and a custom registration's remap was silently ignored)
+    registered_remap = None
+    try:
+        registered_remap = get_dataset(dataset_name).get("class_remap")
+    except Exception:
+        pass
     car_only = len(thing_classes) == 1 and ("sim10k" in dataset_name or "kitti" in dataset_name or list(thing_classes) == ["car"])
-    if car_only and cfg.MODEL.ROI_HEADS.NUM_CLASSES == 8:
+    if registered_remap is not None:
+        evaluators.append(
+            COCOEvaluator(
+                thing_classes,
+                class_remap=registered_remap,
+                max_dets=cfg.TEST.DETECTIONS_PER_IMAGE,
+            )
+        )
+    elif car_only and cfg.MODEL.ROI_HEADS.NUM_CLASSES == 8:
         evaluators.append(
             COCOEvaluator(["car"], class_remap=CAR_ONLY_REMAP, max_dets=cfg.TEST.DETECTIONS_PER_IMAGE)
         )
